@@ -1,0 +1,86 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: rasterizer throughput in Mpix/s for a full differentiable
+render (forward + backward through the tiled compositor) at the
+reference's canonical editing resolution (512x512,
+configs/edit-n2n.yaml) on a synthetic ~100k-Gaussian scene.
+
+The reference publishes no benchmark tables (BASELINE.md); its README
+claims 2-7 min/edit on an RTX 3090 with GS render+backprop described as
+"extremely fast". As the comparison anchor we use 26.2 Mpix/s =
+512*512*100/1e6 — i.e. 100 fwd+bwd frames/s at 512^2, a conservative
+estimate of the CUDA rasterizer's speed on that hardware — so
+vs_baseline > 1.0 means faster than the reference's rasterizer.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MPIX_S = 26.2
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.core.cameras import lookat_camera
+    from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
+    from gaussianeditor_tpu.ops.render import render
+
+    n = 100_000
+    hw = 512
+    rng = np.random.RandomState(0)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
+        features_rest=jnp.asarray(np.zeros((n, 15, 3), np.float32)),
+        opacity_raw=jnp.asarray(rng.uniform(-1.0, 1.0, (n, 1)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.004, 0.02, (n, 3))).astype(np.float32)
+        ),
+        quats=jnp.asarray(quats),
+    )
+    scene = GaussianScene.create(params, max_sh_degree=3, active_sh_degree=3)
+    cam = lookat_camera(
+        np.array([0.0, 0.0, -4.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
+        0.8, 0.8, hw, hw,
+    )
+
+    kwargs = dict(impl="tiled", max_instances=1_048_576, tile_cap=2048, chunk=128)
+
+    def loss(p):
+        out = render(scene.replace(params=p), cam, jnp.zeros(3), **kwargs)
+        return jnp.sum(out.color) + jnp.sum(out.depth)
+
+    fwd_bwd = jax.jit(jax.grad(loss))
+    # warm up / compile
+    g = fwd_bwd(scene.params)
+    jax.block_until_ready(g.xyz)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        g = fwd_bwd(scene.params)
+    jax.block_until_ready(g.xyz)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    mpix_s = hw * hw / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd rasterizer throughput (512^2, 100k gaussians)",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Edit system: instruction-driven editing loop.
+
+Parity target: `threestudio/systems/GassuianEditorEdit.py` (config :15-28,
+on_fit_start :38-62, training_step :64-150) on top of the shared base
+behaviors of `GassuianEditor.py` (origin-render caching :226-249, semantic
+tracing :86-150, densification hooks :251-281).
+
+Host/device split (the TPU-first re-architecture): diffusion guidance and
+mask segmentation run on the host over numpy images; rendering, losses,
+backward, Adam and densification run in two jitted programs
+(`train.trainer.make_train_step` / `make_densify_step`) over a
+fixed-capacity scene pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianeditor_tpu.core.cameras import Camera
+from gaussianeditor_tpu.edit.tracing import update_mask_from_views
+from gaussianeditor_tpu.guidance.base import Guidance, Segmentor
+from gaussianeditor_tpu.models.gaussians import GaussianScene
+from gaussianeditor_tpu.ops.render import render
+from gaussianeditor_tpu.train.densify import DensifyConfig
+from gaussianeditor_tpu.train.optim import GaussianAdam, OptimConfig
+from gaussianeditor_tpu.train.trainer import (
+    LossWeights,
+    TrainState,
+    init_train_state,
+    make_densify_step,
+    make_train_step,
+    stack_cameras,
+)
+
+
+@dataclasses.dataclass
+class EditConfig:
+    """Knobs mirroring GassuianEditor(.Edit) config (GassuianEditor.py:31-66,
+    GassuianEditorEdit.py:15-28) + the canonical values from
+    configs/edit-n2n.yaml and the WebUI defaults (webui.py:283-325)."""
+
+    prompt: str = ""
+    seg_prompt: str = ""            # empty -> no semantic tracing
+    mask_thres: float = 0.5
+    batch_size: int = 2
+    max_steps: int = 1500
+    per_editing_step: int = 10
+    edit_begin_step: int = 0
+    edit_until_step: int = 1000
+    densify_until_step: int = 1300
+    densification_interval: int = 100
+    densify_grad_threshold: float = 0.01
+    max_densify_percent: float = 0.01
+    min_opacity: float = 0.005
+    max_screen_size: float = 5.0
+    anchor_weight_init_g0: float = 0.05
+    anchor_weight_init: float = 0.1
+    anchor_weight_multiplier: float = 1.3
+    loss: LossWeights = dataclasses.field(default_factory=LossWeights)
+    # LR scalers (GassuianEditor.py:483-505 builds OptimizationParams from
+    # trainer.max_steps and these multipliers)
+    gs_lr_scaler: float = 3.0
+    gs_final_lr_scaler: float = 2.0
+    color_lr_scaler: float = 3.0
+    opacity_lr_scaler: float = 2.0
+    scaling_lr_scaler: float = 2.0
+    rotation_lr_scaler: float = 2.0
+    cameras_extent: float = 1.0     # spatial_lr_scale (GassuianEditor.py:503)
+    seed: int = 0
+    # renderer capacity knobs
+    max_instances: Optional[int] = None
+    tile_cap: int = 1024
+    chunk: int = 128
+
+
+def make_optimizer(cfg: EditConfig) -> GaussianAdam:
+    base = OptimConfig()
+    oc = OptimConfig(
+        position_lr_init=base.position_lr_init * cfg.gs_lr_scaler,
+        position_lr_final=base.position_lr_final * cfg.gs_final_lr_scaler,
+        position_lr_max_steps=cfg.max_steps,
+        feature_lr=base.feature_lr * cfg.color_lr_scaler,
+        opacity_lr=base.opacity_lr * cfg.opacity_lr_scaler,
+        scaling_lr=base.scaling_lr * cfg.scaling_lr_scaler,
+        rotation_lr=base.rotation_lr * cfg.rotation_lr_scaler,
+        spatial_lr_scale=cfg.cameras_extent,
+    )
+    return GaussianAdam(config=oc)
+
+
+class ViewSampler:
+    """Without-replacement refilling camera stack — reference `collate`
+    (data/gs_load.py:254-271) / `sample_train_camera` (ui_utils.py:103)."""
+
+    def __init__(self, n_views: int, batch_size: int, seed: int = 0):
+        self.n = n_views
+        self.batch = batch_size
+        self.rng = np.random.RandomState(seed)
+        self._stack: List[int] = []
+
+    def sample(self) -> List[int]:
+        out = []
+        for _ in range(self.batch):
+            if not self._stack:
+                self._stack = list(self.rng.permutation(self.n))
+            out.append(int(self._stack.pop()))
+        return out
+
+
+class EditSystem:
+    def __init__(
+        self,
+        scene: GaussianScene,
+        cameras: Sequence[Camera],
+        config: EditConfig,
+        guidance: Guidance,
+        segmentor: Optional[Segmentor] = None,
+        perceptual: Optional[Callable] = None,
+    ):
+        self.scene = scene
+        self.cameras = list(cameras)
+        self.cfg = config
+        self.guidance = guidance
+        self.segmentor = segmentor
+        self.optim = make_optimizer(config)
+        self.train_step = make_train_step(
+            self.optim, config.loss, perceptual=perceptual,
+            max_instances=config.max_instances,
+            tile_cap=config.tile_cap, chunk=config.chunk,
+        )
+        self.densify_step = make_densify_step(
+            self.optim,
+            DensifyConfig(
+                max_grad=config.densify_grad_threshold,
+                max_densify_percent=config.max_densify_percent,
+                min_opacity=config.min_opacity,
+                max_screen_size=config.max_screen_size,
+                percent_dense=OptimConfig().percent_dense,
+            ),
+            config.cameras_extent,
+            config.anchor_weight_init,
+            config.anchor_weight_multiplier,
+        )
+        self.sampler = ViewSampler(len(self.cameras), config.batch_size,
+                                   config.seed)
+        self.origin_frames: Dict[int, np.ndarray] = {}
+        self.edit_frames: Dict[int, np.ndarray] = {}
+        self.state: Optional[TrainState] = None
+        self.key = jax.random.key(config.seed)
+        self._render_cache = jax.jit(
+            lambda s, c: render(
+                s, c, jnp.zeros(3), impl="tiled",
+                max_instances=config.max_instances,
+                tile_cap=config.tile_cap, chunk=config.chunk,
+            ).color
+        )
+
+    # --- setup (on_fit_start, GassuianEditorEdit.py:38-62) ---
+
+    def render_all_views(self) -> Dict[int, np.ndarray]:
+        """Cache origin renders (render_all_view, GassuianEditor.py:226-249)."""
+        for i, cam in enumerate(self.cameras):
+            if i not in self.origin_frames:
+                self.origin_frames[i] = np.asarray(
+                    self._render_cache(self.scene, cam)
+                )
+        return self.origin_frames
+
+    def update_mask(self) -> None:
+        """Semantic tracing with the pluggable segmentor
+        (GassuianEditor.update_mask, :86-150)."""
+        assert self.segmentor is not None
+        self.render_all_views()
+        masks = [
+            self.segmentor(self.origin_frames[i], self.cfg.seg_prompt)
+            for i in range(len(self.cameras))
+        ]
+        self.scene, _ = update_mask_from_views(
+            self.scene, self.cameras, masks, self.cfg.mask_thres,
+            tile_cap=self.cfg.tile_cap, chunk=self.cfg.chunk,
+        )
+        self.scene = self.scene.update_anchor()
+
+    def on_fit_start(self) -> None:
+        self.render_all_views()
+        if self.cfg.seg_prompt and self.segmentor is not None:
+            self.update_mask()
+        self.state = init_train_state(self.scene, self.optim)
+
+    # --- per-step target refresh (GassuianEditorEdit.py:76-99) ---
+
+    def _refresh_targets(self, view_ids: List[int], step: int) -> None:
+        for vid in view_ids:
+            stale = (
+                vid not in self.edit_frames
+                or (self.cfg.per_editing_step > 0
+                    and self.cfg.edit_begin_step <= step
+                    < self.cfg.edit_until_step
+                    and step % self.cfg.per_editing_step == 0)
+            )
+            if stale:
+                current = np.asarray(
+                    self._render_cache(self.state.scene, self.cameras[vid])
+                )
+                out = self.guidance(
+                    current, self.origin_frames[vid], self.cfg.prompt
+                )
+                self.edit_frames[vid] = np.asarray(out.edit_image, np.float32)
+
+    # --- training ---
+
+    def fit(self, n_steps: Optional[int] = None, callback=None) -> TrainState:
+        if self.state is None:
+            self.on_fit_start()
+        n = n_steps if n_steps is not None else self.cfg.max_steps
+        for _ in range(n):
+            step = int(self.state.step)
+            view_ids = self.sampler.sample()
+            self._refresh_targets(view_ids, step)
+            cam_batch = stack_cameras([self.cameras[v] for v in view_ids])
+            targets = jnp.asarray(
+                np.stack([self.edit_frames[v] for v in view_ids])
+            )
+            self.state, metrics = self.train_step(self.state, cam_batch, targets)
+            if (
+                step < self.cfg.densify_until_step
+                and step > 0
+                and step % self.cfg.densification_interval == 0
+            ):
+                self.key, sub = jax.random.split(self.key)
+                self.state, dinfo = self.densify_step(self.state, sub)
+                metrics = {**metrics, **dinfo}
+            if callback is not None:
+                callback(step, metrics)
+        self.scene = self.state.scene
+        return self.state

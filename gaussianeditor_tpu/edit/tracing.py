@@ -1,0 +1,82 @@
+"""Semantic tracing: lift 2D segmentation masks to per-Gaussian labels.
+
+Parity with `GaussianEditor.update_mask` (threestudio/systems/
+GassuianEditor.py:86-150) and the click-prompt variant
+(webui.py:890-958): per cached view, obtain a 2D mask from the segmentor,
+splat it onto per-Gaussian weight/count accumulators with
+`ops.apply_weights`, normalize by count, threshold, and install the
+resulting boolean mask (which gates gradients and densification).
+
+The segmentor is pluggable (`guidance.segmentation`): LangSAM in
+production, a deterministic color-threshold fake in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianeditor_tpu.core.cameras import Camera
+from gaussianeditor_tpu.ops.apply_weights import apply_weights
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply_weights(height, width, tile_cap, chunk):
+    def f(scene, camera, mask_img, weights, cnt):
+        return apply_weights(
+            scene, camera, mask_img, weights, cnt,
+            tile_cap=tile_cap, chunk=chunk,
+        )
+
+    return jax.jit(f)
+
+
+def accumulate_view_weights(
+    scene,
+    cameras: Sequence[Camera],
+    masks: Sequence[jnp.ndarray],  # each [H, W] in [0, 1]
+    *,
+    tile_cap: int = 1024,
+    chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the apply_weights accumulation over a set of views
+    (GassuianEditor.py:97-133). Returns (weights [C,1], counts [C])."""
+    C = scene.capacity
+    weights = jnp.zeros((C, 1), jnp.float32)
+    cnt = jnp.zeros((C,), jnp.int32)
+    for cam, mask in zip(cameras, masks):
+        f = _jitted_apply_weights(cam.height, cam.width, tile_cap, chunk)
+        m = jnp.asarray(mask, jnp.float32)
+        if m.ndim == 2:
+            m = m[..., None]
+        weights, cnt = f(scene, cam, m, weights, cnt)
+    return weights, cnt
+
+
+def update_mask_from_views(
+    scene,
+    cameras: Sequence[Camera],
+    masks: Sequence[jnp.ndarray],
+    mask_thres: float = 0.5,
+    *,
+    tile_cap: int = 1024,
+    chunk: int = 128,
+):
+    """Full tracing step: accumulate -> normalize -> threshold -> install.
+
+    Matches GassuianEditor.py:134-150: selected = weights/(cnt+1e-7) >
+    mask_thres; the new mask replaces the scene's semantic mask and the
+    anchor snapshot is refreshed for the upcoming edit.
+    Returns (scene, normalized_weights [C]).
+    """
+    weights, cnt = accumulate_view_weights(
+        scene, cameras, masks, tile_cap=tile_cap, chunk=chunk
+    )
+    norm = weights[:, 0] / (cnt.astype(jnp.float32) + 1e-7)
+    selected = (norm > mask_thres) & scene.alive
+    scene = scene.set_mask(selected)
+    return scene, norm

@@ -1,0 +1,76 @@
+"""Deterministic fakes for guidance / segmentation / inpainting.
+
+These make the editing loops hermetically testable (no checkpoints, no
+network): the fake guidance applies a fixed prompt-derived linear color
+transform to the ORIGIN render, so the edit trainer has a consistent,
+achievable multi-view target — structurally the same contract as
+InstructPix2Pix iterative dataset update (edited targets consistent
+across regenerations), which is what the Edit system's convergence
+depends on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from gaussianeditor_tpu.guidance.base import GuidanceOutput
+
+
+def _prompt_matrix(prompt: str) -> np.ndarray:
+    """Stable 3x3 color mixing matrix + bias derived from the prompt."""
+    h = hashlib.sha256(prompt.encode()).digest()
+    vals = np.frombuffer(h[:16], dtype=np.uint8).astype(np.float32) / 255.0
+    m = 0.6 * np.eye(3, dtype=np.float32)
+    m += 0.25 * vals[:9].reshape(3, 3)
+    bias = 0.3 * vals[9:12]
+    return m, bias
+
+
+class FakeGuidance:
+    """edited = clip(origin @ M(prompt) + b(prompt))."""
+
+    def __init__(self, strength: float = 1.0):
+        self.strength = strength
+
+    def __call__(self, rgb, cond_rgb, prompt: str) -> GuidanceOutput:
+        m, b = _prompt_matrix(prompt)
+        origin = np.asarray(cond_rgb, np.float32)
+        edited = np.clip(origin @ m.T + b, 0.0, 1.0)
+        out = origin + self.strength * (edited - origin)
+        return GuidanceOutput(edit_image=out.astype(np.float32))
+
+
+class FakeSegmentor:
+    """Thresholds a color-distance to a prompt-derived reference color —
+    deterministic stand-in for LangSAM text segmentation."""
+
+    def __init__(self, ref_color=None, radius: float = 0.35):
+        self.ref_color = ref_color
+        self.radius = radius
+
+    def __call__(self, image, prompt: str) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        if self.ref_color is None:
+            h = hashlib.sha256(prompt.encode()).digest()
+            ref = np.frombuffer(h[:3], dtype=np.uint8).astype(np.float32) / 255.0
+        else:
+            ref = np.asarray(self.ref_color, np.float32)
+        d = np.linalg.norm(img - ref[None, None], axis=-1)
+        return (d < self.radius).astype(np.float32)
+
+
+class FakeInpainter:
+    """Fills the masked region with the mean color of the unmasked region
+    (a deterministic 'plausible fill')."""
+
+    def __call__(self, image, mask, prompt: str) -> np.ndarray:
+        img = np.asarray(image, np.float32).copy()
+        m = np.asarray(mask) > 0.5
+        if (~m).any():
+            fill = img[~m].mean(axis=0)
+        else:
+            fill = np.array([0.5, 0.5, 0.5], np.float32)
+        img[m] = fill
+        return img

@@ -1,0 +1,211 @@
+"""The jitted editing train step + host-side training state.
+
+TPU-first re-architecture of the reference training loop
+(`GassuianEditorEdit.training_step` + `GassuianEditor.forward` +
+`on_before_optimizer_step`, threestudio/systems/GassuianEditor*.py):
+
+  * One `jax.jit`-compiled `train_step` consumes a *stacked* batch of
+    cameras and per-view target images and performs: render (lax.scan over
+    the batch), photometric + anchor losses, backward, viewspace-gradient
+    harvesting for densification, grad masking, and the Adam update.
+    Guidance (diffusion) runs on the host OUTSIDE this step, exactly as the
+    reference amortizes it via `per_editing_step`.
+  * The viewspace densification probe is functional: zero NDC offsets are
+    fed per view; the summed cotangent reproduces
+    `screenspace_points.grad` accumulation (GassuianEditor.py:253-269).
+  * Densification is a second jitted function over the same fixed-capacity
+    pytree (train/densify.py), so parameter "resizing" never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gaussianeditor_tpu.core.cameras import Camera
+from gaussianeditor_tpu.models.gaussians import GaussianScene
+from gaussianeditor_tpu.ops.render import render
+from gaussianeditor_tpu.train.anchors import anchor_loss
+from gaussianeditor_tpu.train.densify import (
+    DensifyConfig,
+    DensifyStats,
+    add_densification_stats,
+    densify_and_prune,
+    init_densify_stats,
+)
+from gaussianeditor_tpu.train.losses import l1_loss
+from gaussianeditor_tpu.train.optim import AdamState, GaussianAdam, OptimConfig
+
+
+@struct.dataclass
+class LossWeights:
+    """Reference loss block (configs/edit-n2n.yaml; GassuianEditorEdit.py:
+    100-148)."""
+
+    lambda_l1: float = 10.0
+    lambda_p: float = 10.0
+    lambda_anchor_color: float = 5.0
+    lambda_anchor_geo: float = 50.0
+    lambda_anchor_scale: float = 50.0
+    lambda_anchor_opacity: float = 50.0
+
+
+@struct.dataclass
+class TrainState:
+    scene: GaussianScene
+    opt_state: AdamState
+    stats: DensifyStats
+    step: jnp.ndarray  # scalar int32
+
+
+def init_train_state(scene: GaussianScene, optim: GaussianAdam) -> TrainState:
+    return TrainState(
+        scene=scene,
+        opt_state=optim.init(scene.params),
+        stats=init_densify_stats(scene.capacity),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def stack_cameras(cameras) -> Camera:
+    """Stack same-resolution cameras into one batched Camera pytree."""
+    h, w = cameras[0].height, cameras[0].width
+    assert all(c.height == h and c.width == w for c in cameras)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+def make_train_step(
+    optim: GaussianAdam,
+    weights: LossWeights,
+    *,
+    perceptual: Optional[Callable] = None,
+    max_instances: Optional[int] = None,
+    tile_cap: int = 1024,
+    chunk: int = 128,
+):
+    """Build the jitted edit train step.
+
+    perceptual: optional JAX-traceable (pred [H,W,3], target [H,W,3]) ->
+    scalar standing in for LPIPS (utils/perceptual in the reference).
+    """
+
+    @jax.jit
+    def train_step(
+        state: TrainState,
+        cam_batch: Camera,        # stacked pytree, leaves [B, ...]
+        targets: jnp.ndarray,     # [B, H, W, 3] edited target images
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        scene = state.scene
+        C = scene.capacity
+        B = targets.shape[0]
+        cam_leaves, cam_treedef = jax.tree_util.tree_flatten(cam_batch)
+
+        def loss_fn(params, offsets):
+            s = scene.replace(params=params)
+
+            def per_view(carry, xs):
+                leaves, target, offset = xs
+                cam = jax.tree_util.tree_unflatten(cam_treedef, leaves)
+                out = render(
+                    s, cam, jnp.zeros(3),
+                    mean2d_offset_ndc=offset,
+                    impl="tiled", max_instances=max_instances,
+                    tile_cap=tile_cap, chunk=chunk,
+                )
+                l1 = l1_loss(out.color, target)
+                lp = (perceptual(out.color, target)
+                      if perceptual is not None else 0.0)
+                radii_max, vis_any = carry
+                return (
+                    (jnp.maximum(radii_max, out.radii),
+                     vis_any | out.visible),
+                    (l1, lp),
+                )
+
+            (radii_max, vis_any), (l1s, lps) = jax.lax.scan(
+                per_view,
+                (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), bool)),
+                (tuple(cam_leaves), targets, offsets),
+            )
+            loss_l1 = jnp.mean(l1s)
+            loss_p = jnp.mean(jnp.asarray(lps)) if perceptual is not None else 0.0
+
+            anchors = anchor_loss(s)
+            total = (
+                weights.lambda_l1 * loss_l1
+                + weights.lambda_p * loss_p
+                + weights.lambda_anchor_color * anchors["loss_anchor_color"]
+                + weights.lambda_anchor_geo * anchors["loss_anchor_geo"]
+                + weights.lambda_anchor_scale * anchors["loss_anchor_scale"]
+                + weights.lambda_anchor_opacity * anchors["loss_anchor_opacity"]
+            )
+            metrics = {
+                "loss": total,
+                "loss_l1": loss_l1,
+                "loss_p": jnp.asarray(loss_p),
+                **anchors,
+            }
+            return total, (metrics, radii_max, vis_any)
+
+        offsets0 = jnp.zeros((B, C, 2), jnp.float32)
+        (_, (metrics, radii_max, vis_any)), (grads, off_grads) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                scene.params, offsets0
+            )
+        )
+
+        # viewspace grads: sum over batch views, then xy-norm
+        # (GassuianEditor.py:253-269 + gaussian_model.py:811-815)
+        vgrad = jnp.sum(off_grads, axis=0)  # [C, 2]
+        vnorm = jnp.linalg.norm(vgrad, axis=-1)
+        stats = add_densification_stats(state.stats, vnorm, radii_max, vis_any)
+
+        params, opt_state = optim.step(
+            scene.params, grads, state.opt_state, grad_mask=scene.mask,
+            step_override=state.step,
+        )
+        new_scene = scene.replace(params=params)
+        return (
+            TrainState(scene=new_scene, opt_state=opt_state, stats=stats,
+                       step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_densify_step(
+    optim: GaussianAdam,
+    config: DensifyConfig,
+    cameras_extent: float,
+    anchor_weight_init: float,
+    anchor_weight_multiplier: float,
+):
+    """Jitted densify/prune + optimizer-moment reset
+    (GassuianEditor.on_before_optimizer_step periodic branch,
+    GassuianEditor.py:270-281)."""
+
+    @jax.jit
+    def densify_step(state: TrainState, key: jax.Array):
+        res = densify_and_prune(
+            state.scene, state.stats, config, cameras_extent, key,
+            anchor_weight_init, anchor_weight_multiplier,
+        )
+        opt_state = optim.reset_slots(state.opt_state, res.reset_mask)
+        new_state = TrainState(
+            scene=res.scene, opt_state=opt_state, stats=res.stats,
+            step=state.step,
+        )
+        info = {
+            "n_cloned": res.n_cloned,
+            "n_split": res.n_split,
+            "n_pruned": res.n_pruned,
+            "n_dropped": res.n_dropped,
+        }
+        return new_state, info
+
+    return densify_step
