@@ -51,22 +51,29 @@ def main() -> None:
         0.8, 0.8, hw, hw,
     )
 
-    kwargs = dict(impl="tiled", max_instances=1_048_576, tile_cap=2048, chunk=128)
+    kwargs = dict(max_instances=524_288)  # impl auto: Pallas on TPU
 
     def loss(p):
         out = render(scene.replace(params=p), cam, jnp.zeros(3), **kwargs)
         return jnp.sum(out.color) + jnp.sum(out.depth)
 
-    fwd_bwd = jax.jit(jax.grad(loss))
-    # warm up / compile
-    g = fwd_bwd(scene.params)
-    jax.block_until_ready(g.xyz)
-
     n_iter = 20
+
+    # batch the iterations inside one jitted program: the single-chip
+    # tunnel has ~70 ms per-dispatch overhead that would otherwise
+    # dominate the measurement
+    @jax.jit
+    def bench_loop(params):
+        def body(i, acc):
+            g = jax.grad(loss)(
+                params.replace(opacity_raw=params.opacity_raw + i * 1e-6)
+            )
+            return acc + jnp.sum(g.xyz)
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    jax.block_until_ready(bench_loop(scene.params))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        g = fwd_bwd(scene.params)
-    jax.block_until_ready(g.xyz)
+    jax.block_until_ready(bench_loop(scene.params))
     dt = (time.perf_counter() - t0) / n_iter
 
     mpix_s = hw * hw / dt / 1e6

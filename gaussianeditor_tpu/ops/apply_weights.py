@@ -108,7 +108,7 @@ def apply_weights(
             -0.5 * (conic[:, None, :, 0] * dx * dx + conic[:, None, :, 2] * dy * dy)
             - conic[:, None, :, 1] * dx * dy
         )
-        alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * jnp.exp(jnp.minimum(power, 0.0)))
         skipped = (
             (power > 0.0) | (alpha < ALPHA_MIN)
             | ~in_range[:, None, :] | ~px_valid[..., None]
@@ -126,6 +126,7 @@ def apply_weights(
             contrib_f, img_tiles,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         n_add = jnp.sum(contrib_f, axis=1) * ch  # cnt += 1 per channel (:332-334)
 

@@ -50,12 +50,14 @@ def bin_and_sort(
     incl = jnp.cumsum(tiles)
     excl = incl - tiles
     num_rendered = incl[-1]
+    C = tiles.shape[0]
 
     # Slot -> source Gaussian (vectorized inverse of the CUDA duplicate
-    # scatter, rasterizer_impl.cu:67-100).
+    # scatter, rasterizer_impl.cu:67-100). jnp.repeat with
+    # total_repeat_length pads the tail with the LAST id — masked below.
     slots = jnp.arange(R, dtype=jnp.int32)
-    g = jnp.searchsorted(incl, slots, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, tiles.shape[0] - 1)
+    g = jnp.repeat(jnp.arange(C, dtype=jnp.int32), tiles,
+                   total_repeat_length=R)
     t = slots - excl[g]  # index within the Gaussian's tile rect
 
     rect_min = proc.rect_min[g]
@@ -70,8 +72,18 @@ def bin_and_sort(
     depth = jnp.where(valid, proc.depth[g], jnp.inf).astype(jnp.float32)
     depth = jax.lax.stop_gradient(depth)
 
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_id, depth, g), num_keys=2, is_stable=True
+    # Single fused 32-bit radix key, the XLA analog of CUDA's 64-bit
+    # [tile | depth-bits] key (rasterizer_impl.cu:256-261): high bits =
+    # tile id, low bits = the top bits of the positive-float depth
+    # pattern (order-preserving for depth > 0). Depth ordering is exact
+    # to ~2^-(22 - ceil(log2 num_tiles)) relative precision; equal-key
+    # ties keep instance order (stable sort), matching CUB.
+    tile_bits = max((num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    dkey = jax.lax.bitcast_convert_type(depth, jnp.uint32) >> (32 - depth_bits)
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey
+    sorted_key, sorted_gid, sorted_tile = jax.lax.sort(
+        (key, g, tile_id), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -84,4 +96,39 @@ def bin_and_sort(
         tile_end=tile_end,
         num_rendered=num_rendered,
         overflow=num_rendered > R,
+    )
+
+
+class AlignedBinning(NamedTuple):
+    """Chunk-aligned instance list for the Pallas compositor: every tile's
+    range starts at a multiple of `chunk`, with dead padding slots between
+    tiles, so per-tile DMA reads/writes never straddle tile boundaries
+    (the backward kernel stores per-instance gradient rows in disjoint
+    aligned blocks)."""
+
+    gauss_id: jnp.ndarray    # [R2] int32 source Gaussian per slot
+    valid: jnp.ndarray       # [R2] bool — False on padding slots
+    tile_start: jnp.ndarray  # [num_tiles] int32, chunk-aligned
+    tile_len: jnp.ndarray    # [num_tiles] int32 true (unpadded) length
+
+
+def align_ranges(b: Binning, num_tiles: int, chunk: int) -> AlignedBinning:
+    """Re-lay the sorted instance list with per-tile chunk alignment.
+    Output capacity is the static bound R + chunk*num_tiles."""
+    R = b.gauss_id.shape[0]
+    R2 = R + chunk * num_tiles
+    length = jnp.minimum(b.tile_end, R) - jnp.minimum(b.tile_start, R)
+    cap = -(-length // chunk) * chunk  # per-tile padded capacity
+    new_start = jnp.cumsum(cap) - cap  # exclusive prefix
+
+    slots = jnp.arange(R2, dtype=jnp.int32)
+    t = jnp.repeat(jnp.arange(num_tiles, dtype=jnp.int32), cap,
+                   total_repeat_length=R2)
+    off = slots - new_start[t]
+    valid = off < length[t]
+    src = jnp.clip(b.tile_start[t] + off, 0, R - 1)
+    gid = jnp.where(valid, b.gauss_id[src], 0)
+    return AlignedBinning(
+        gauss_id=gid, valid=valid, tile_start=new_start.astype(jnp.int32),
+        tile_len=length.astype(jnp.int32),
     )

@@ -102,7 +102,11 @@ def composite_tiles(
         cxy = conic[:, None, :, 1]
         cy = conic[:, None, :, 2]
         power = -0.5 * (cx * dx * dx + cy * dy * dy) - cxy * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * jnp.exp(power))
+        # clamp the exponent: power > 0 is skipped anyway, and garbage
+        # conics of culled/padding instances would overflow exp -> inf,
+        # whose 0*inf products NaN the backward pass
+        alpha = jnp.minimum(ALPHA_MAX,
+                            op[:, None, :] * jnp.exp(jnp.minimum(power, 0.0)))
 
         skipped = (power > 0.0) | (alpha < ALPHA_MIN) | ~in_range[:, None, :]
         f = jnp.where(skipped, 1.0, 1.0 - alpha)  # [T, px, chunk]
@@ -119,9 +123,13 @@ def composite_tiles(
             w, feat_aug,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         T_out = T_in * jnp.prod(jnp.where(contributes, f, 1.0), axis=-1)
-        n_new = jnp.sum(contributes, axis=-1).astype(jnp.int32)
+        # last contributor's 1-based position within the tile range
+        # (CUDA's n_contrib, forward.cu:330,365 — consumed by backward)
+        pos = i * chunk + jnp.arange(chunk)[None, None, :] + 1
+        n_new = jnp.max(jnp.where(contributes, pos, 0), axis=-1).astype(jnp.int32)
         return (T_out, done_out, acc), n_new
 
     T0 = jnp.ones((num_tiles, n_px), jnp.float32)
@@ -130,7 +138,7 @@ def composite_tiles(
     (T_fin, _, acc), n_steps_contrib = jax.lax.scan(
         step, (T0, done0, acc0), jnp.arange(n_steps)
     )
-    n_contrib = jnp.sum(n_steps_contrib, axis=0)
+    n_contrib = jnp.max(n_steps_contrib, axis=0)
 
     return TileImages(
         color=acc[..., :ch],

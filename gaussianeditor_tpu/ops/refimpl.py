@@ -52,7 +52,7 @@ def composite_dense(proc: ProcessedGaussians, height: int, width: int,
             -0.5 * (g_conic[0] * d[:, 0] ** 2 + g_conic[2] * d[:, 1] ** 2)
             - g_conic[1] * d[:, 0] * d[:, 1]
         )
-        alpha = jnp.minimum(ALPHA_MAX, g_op * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, g_op * jnp.exp(jnp.minimum(power, 0.0)))
         in_rect = jnp.all((pix_tile >= g_rmin[None]) & (pix_tile < g_rmax[None]),
                           axis=-1)
         skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (~g_vis) | (~in_rect)

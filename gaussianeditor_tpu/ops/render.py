@@ -40,6 +40,14 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray      # scalar bool
 
 
+def default_impl() -> str:
+    """Production compositor on TPU (Pallas kernels); the scan compositor
+    on CPU (where Pallas runs interpreted and the scan is faster)."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+
 def default_max_instances(capacity: int) -> int:
     """Static instance-buffer capacity heuristic: ~32 tile duplicates per
     Gaussian (point-cloud-initialized scenes have large footprints before
@@ -58,7 +66,7 @@ def render(
     scale_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,
     mean2d_offset_ndc: Optional[jnp.ndarray] = None,
-    impl: str = "tiled",
+    impl: Optional[str] = None,
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
@@ -68,6 +76,8 @@ def render(
     impl: 'tiled' (production, scan+MXU compositor), 'ref' (dense oracle).
     """
     H, W = camera.height, camera.width
+    if impl is None:
+        impl = default_impl()
     if bg is None:
         bg = jnp.zeros((3 if override_color is None else override_color.shape[-1],),
                        jnp.float32)
@@ -105,11 +115,34 @@ def render(
     grid_y = (H + TILE - 1) // TILE
     if max_instances is None:
         max_instances = default_max_instances(scene.capacity)
+    if impl == "pallas":  # aligned layout requires chunk-multiple capacity
+        from gaussianeditor_tpu.ops.pallas_composite import CHUNK as _PC
+
+        max_instances = -(-max_instances // _PC) * _PC
 
     binning = bin_and_sort(proc, grid_x, grid_y, max_instances)
-    tiles = composite_tiles(
-        proc, binning, grid_x, grid_y, tile_cap=tile_cap, chunk=chunk
-    )
+    if impl == "pallas":
+        from gaussianeditor_tpu.ops.binning import align_ranges
+        from gaussianeditor_tpu.ops.pallas_composite import (
+            CHUNK,
+            make_pallas_compositor,
+        )
+
+        num_tiles = grid_x * grid_y
+        ab = align_ranges(binning, num_tiles, CHUNK)
+        r2 = max_instances + CHUNK * num_tiles
+        ch = proc.color.shape[-1]
+        compositor = make_pallas_compositor(
+            num_tiles, grid_x, ch, r2, scene.capacity
+        )
+        tiles = compositor(
+            proc.mean2d, proc.conic, proc.opacity, proc.color, proc.depth,
+            ab.gauss_id, ab.valid, ab.tile_start, ab.tile_len,
+        )
+    else:
+        tiles = composite_tiles(
+            proc, binning, grid_x, grid_y, tile_cap=tile_cap, chunk=chunk
+        )
 
     color = tiles_to_image(tiles.color, grid_x, grid_y, H, W)
     depth = tiles_to_image(tiles.depth, grid_x, grid_y, H, W)

@@ -41,6 +41,7 @@ def make_sharded_train_step(
     *,
     axis: str = "data",
     perceptual: Optional[Callable] = None,
+    impl: Optional[str] = None,
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
@@ -62,7 +63,7 @@ def make_sharded_train_step(
             s = scene.replace(params=params)
             out = render(
                 s, cam, jnp.zeros(3), mean2d_offset_ndc=offset,
-                impl="tiled", max_instances=max_instances,
+                impl=impl, max_instances=max_instances,
                 tile_cap=tile_cap, chunk=chunk,
             )
             l1 = l1_loss(out.color, target)

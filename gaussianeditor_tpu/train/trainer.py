@@ -83,6 +83,7 @@ def make_train_step(
     weights: LossWeights,
     *,
     perceptual: Optional[Callable] = None,
+    impl: Optional[str] = None,
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
@@ -113,7 +114,7 @@ def make_train_step(
                 out = render(
                     s, cam, jnp.zeros(3),
                     mean2d_offset_ndc=offset,
-                    impl="tiled", max_instances=max_instances,
+                    impl=impl, max_instances=max_instances,
                     tile_cap=tile_cap, chunk=chunk,
                 )
                 l1 = l1_loss(out.color, target)

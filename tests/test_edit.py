@@ -1,0 +1,226 @@
+"""Edit-layer tests with deterministic fakes (SURVEY.md section 4 point 5):
+semantic tracing (apply_weights lifting), the Edit loop end-to-end
+(targets from FakeGuidance; loss must drop), Del (shell mask + prune +
+inpaint), Add (depth alignment + rigid placement + concat)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianeditor_tpu.core.cameras import orbit_cameras
+from gaussianeditor_tpu.edit.add_system import align_depth_scale, place_object_in_scene
+from gaussianeditor_tpu.edit.del_system import near_gaussians_by_mask
+from gaussianeditor_tpu.edit.edit_system import EditConfig, EditSystem, ViewSampler
+from gaussianeditor_tpu.edit.tracing import update_mask_from_views
+from gaussianeditor_tpu.guidance.fake import FakeGuidance, FakeInpainter, FakeSegmentor
+from gaussianeditor_tpu.ops.apply_weights import apply_weights
+from gaussianeditor_tpu.ops.render import render
+from tests.helpers import make_camera, random_scene
+
+
+def _two_cluster_scene(seed=0, n_obj=30, n_bg=60):
+    """Scene with a small 'object' cluster near origin and background
+    points in a shell, distinguishable by position."""
+    rng = np.random.RandomState(seed)
+    obj = rng.uniform(-0.25, 0.25, (n_obj, 3))
+    theta = rng.uniform(0, 2 * np.pi, n_bg)
+    phi = rng.uniform(-0.6, 0.6, n_bg)
+    bg = np.stack(
+        [1.5 * np.cos(theta) * np.cos(phi), 1.5 * np.sin(phi),
+         1.5 * np.sin(theta) * np.cos(phi)], axis=1
+    )
+    pts = np.concatenate([obj, bg]).astype(np.float32)
+    scene = random_scene(n_obj + n_bg, seed=seed)
+    return scene.replace(params=scene.params.replace(xyz=jnp.asarray(pts)))
+
+
+class TestApplyWeights:
+    def test_full_mask_selects_visible(self):
+        scene = random_scene(60, seed=1)
+        cam = make_camera(64, 64)
+        w = jnp.zeros((scene.capacity, 1))
+        c = jnp.zeros((scene.capacity,), jnp.int32)
+        ones = jnp.ones((64, 64, 1))
+        w, c = jax.jit(lambda s, cm, iw, ww, cc: apply_weights(
+            s, cm, iw, ww, cc, tile_cap=512, chunk=64))(scene, cam, ones, w, c)
+        out = render(scene, cam, impl="tiled", tile_cap=512, chunk=64)
+        vis = np.asarray(out.visible)
+        norm = np.asarray(w[:, 0] / (c + 1e-7))
+        # every Gaussian that actually contributes pixels gets weight ~1
+        contributing = (np.asarray(c) > 0)
+        assert contributing.sum() > 10
+        np.testing.assert_allclose(norm[contributing], 1.0, atol=1e-5)
+        assert not contributing[~vis].any()
+
+    def test_zero_mask_zero_weights(self):
+        scene = random_scene(30, seed=2)
+        cam = make_camera(32, 32)
+        w = jnp.zeros((scene.capacity, 1))
+        c = jnp.zeros((scene.capacity,), jnp.int32)
+        w, c = jax.jit(lambda s, cm, iw, ww, cc: apply_weights(
+            s, cm, iw, ww, cc, tile_cap=256, chunk=32))(
+            scene, cam, jnp.zeros((32, 32, 1)), w, c)
+        assert float(jnp.abs(w).max()) == 0.0
+        assert int(c.sum()) > 0  # counts still accumulate
+
+
+class TestTracing:
+    def test_spatial_mask_selects_object_cluster(self):
+        """Lifting a 2D disk mask (center of each view) should select the
+        central object Gaussians, not the background shell."""
+        scene = _two_cluster_scene()
+        cams = orbit_cameras(6, 4.0, 0.8, 0.8, 64, 64)
+        masks = []
+        ys, xs = np.mgrid[0:64, 0:64]
+        disk = (((xs - 31.5) ** 2 + (ys - 31.5) ** 2) < 12**2).astype(np.float32)
+        masks = [disk] * len(cams)
+        traced, norm = update_mask_from_views(scene, cams, masks, 0.5,
+                                              tile_cap=512, chunk=64)
+        m = np.asarray(traced.mask)
+        # object cluster (first 30) mostly selected; background mostly not
+        assert m[:30].mean() > 0.6
+        assert m[30:90].mean() < 0.2
+
+
+class TestEditSystem:
+    def test_edit_loop_converges_and_densifies(self):
+        scene = random_scene(80, seed=3)
+        cams = orbit_cameras(6, 4.0, 0.8, 0.8, 48, 48)
+        cfg = EditConfig(
+            prompt="warmify", batch_size=2, max_steps=25, per_editing_step=10,
+            densification_interval=10, densify_until_step=20,
+            edit_until_step=25, cameras_extent=2.0,
+            max_instances=8192, tile_cap=512, chunk=64,
+        )
+        sys_ = EditSystem(scene, cams, cfg, guidance=FakeGuidance())
+        losses = []
+        sys_.fit(callback=lambda s, m: losses.append(float(m["loss"])))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8
+        assert int(sys_.state.step) == 25
+
+    def test_mask_gates_updates(self):
+        """With an all-False semantic mask, only rotation may drift
+        (grad-mask parity, gaussian_model.py:849)."""
+        scene = random_scene(40, seed=4)
+        scene = scene.set_mask(jnp.zeros((40,), bool))
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(prompt="x", batch_size=2, max_steps=4,
+                         per_editing_step=10, densify_until_step=0,
+                         cameras_extent=2.0, max_instances=4096,
+                         tile_cap=256, chunk=32)
+        sys_ = EditSystem(scene, cams, cfg, guidance=FakeGuidance())
+        sys_.fit()
+        np.testing.assert_allclose(sys_.state.scene.params.xyz,
+                                   scene.params.xyz)
+        np.testing.assert_allclose(sys_.state.scene.params.features_dc,
+                                   scene.params.features_dc)
+
+    def test_view_sampler_without_replacement(self):
+        s = ViewSampler(5, 2, seed=0)
+        seen = []
+        for _ in range(5):
+            seen += s.sample()
+        # first 5 draws cover all views exactly once
+        assert sorted(seen[:5]) == [0, 1, 2, 3, 4]
+
+
+class TestDelSystem:
+    def test_near_gaussians_shell(self):
+        xyz = np.zeros((10, 3), np.float32)
+        # shell candidates must sit inside the 1.3x-expanded 3%-97%
+        # quantile bbox of the object AND within dist_thresh of it —
+        # both filters are reference semantics (gaussian_model.py:869-887)
+        xyz[:5] = np.array([[-0.1, -0.1, -0.1], [0.1, 0.1, 0.1],
+                            [0.1, -0.1, 0.0], [-0.1, 0.1, 0.0],
+                            [0.0, 0.0, 0.1]], np.float32)
+        xyz[5] = [0.11, 0, 0]       # near, in bbox
+        xyz[6] = [0.0, 0.115, 0]    # near, in bbox
+        xyz[7] = [2.0, 0, 0]        # far
+        xyz[8] = [0, 0, 0.12]       # near, in bbox
+        xyz[9] = [5.0, 5.0, 5.0]    # far
+        mask = np.zeros(10, bool)
+        mask[:5] = True
+        alive = np.ones(10, bool)
+        shell = near_gaussians_by_mask(xyz, mask, alive, dist_thresh=0.15)
+        assert shell[5] and shell[6] and shell[8]
+        assert not shell[7] and not shell[9]
+        assert not shell[:5].any()  # object itself excluded
+
+    def test_del_system_prunes_and_trains(self):
+        from gaussianeditor_tpu.edit.del_system import DelConfig, DelSystem
+
+        scene = _two_cluster_scene(seed=5)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 48, 48)
+        cfg = DelConfig(
+            seg_prompt="object", batch_size=2, max_steps=6,
+            densify_until_step=0, cameras_extent=2.0, inpaint_scale=30.0,
+            max_instances=8192, tile_cap=512, chunk=64, mask_dilate=2,
+        )
+        ys, xs = np.mgrid[0:48, 0:48]
+        disk = (((xs - 23.5) ** 2 + (ys - 23.5) ** 2) < 10**2).astype(np.float32)
+
+        class DiskSegmentor:
+            def __call__(self, image, prompt):
+                return disk
+
+        n_before = 90
+        sys_ = DelSystem(scene, cams, cfg, inpainter=FakeInpainter(),
+                         segmentor=DiskSegmentor())
+        sys_.on_fit_start()
+        # the central object is gone
+        assert int(sys_.scene.n_alive) < n_before
+        alive = np.asarray(sys_.scene.alive)
+        assert alive[:30].mean() < 0.4  # object cluster mostly pruned
+        assert alive[30:90].mean() > 0.8  # background kept
+        losses = []
+        sys_.fit(n_steps=6, callback=lambda s, m: losses.append(float(m["loss"])))
+        assert np.isfinite(losses).all()
+
+
+class TestAddSystem:
+    def test_align_depth_scale(self):
+        rng = np.random.RandomState(0)
+        est = rng.uniform(1, 5, (32, 32)).astype(np.float32)
+        rendered = 2.0 * est + 0.5
+        obj = np.zeros((32, 32), bool)
+        obj[10:20, 10:20] = True
+        a, b = align_depth_scale(est, rendered, obj)
+        assert abs(a - 2.0) < 1e-4 and abs(b - 0.5) < 1e-3
+
+    def test_place_object_lands_in_bbox(self):
+        obj = random_scene(20, seed=6, spread=0.5)
+        cam = make_camera(64, 64)
+        bbox = (20, 24, 44, 48)
+        depth = 3.0
+        placed = place_object_in_scene(obj, cam, bbox, depth)
+        out = render(placed, cam, impl="tiled", max_instances=4096,
+                     tile_cap=256, chunk=32)
+        # the placed object's projected center is inside the bbox
+        xyz = np.asarray(placed.params.xyz)
+        center = xyz.mean(axis=0)
+        W = np.asarray(cam.world_view)
+        p_cam = W[:3, :3] @ center + W[:3, 3]
+        assert abs(p_cam[2] - depth) < 0.3
+        p = np.asarray(cam.full_proj) @ np.append(center, 1.0)
+        ndc = p[:2] / p[3]
+        px = (ndc[0] + 1) * 64 / 2
+        py = (ndc[1] + 1) * 64 / 2
+        assert 20 <= px <= 44 and 24 <= py <= 48
+
+    def test_concat_refine_only_moves_object(self):
+        from gaussianeditor_tpu.models.gaussians import concat_scenes
+
+        base = random_scene(30, seed=7)
+        obj = random_scene(10, seed=8)
+        merged = concat_scenes(base, obj)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(prompt="blend", batch_size=2, max_steps=3,
+                         per_editing_step=10, densify_until_step=0,
+                         cameras_extent=2.0, max_instances=8192,
+                         tile_cap=256, chunk=32)
+        sys_ = EditSystem(merged, cams, cfg, guidance=FakeGuidance())
+        sys_.fit()
+        got = sys_.state.scene.params
+        np.testing.assert_allclose(got.xyz[:30], merged.params.xyz[:30])
+        assert float(jnp.abs(got.xyz[30:] - merged.params.xyz[30:]).max()) > 0
