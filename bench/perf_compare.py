@@ -1,3 +1,5 @@
+"""Compare Pallas vs scan compositor throughput on the current backend
+(amortized: N frames per dispatch to mask tunnel dispatch overhead)."""
 import time
 import numpy as np, jax, jax.numpy as jnp
 from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene

@@ -1,0 +1,234 @@
+"""CLI launcher.
+
+Parity target: the reference `launch.py:43-250` —
+`python -m gaussianeditor_tpu.apps.launch --config cfg.yaml --train
+[key.path=value ...]` with modes --train / --test / --export, trial-dir
+layout, config snapshotting and metric logging (CSV JSON-lines).
+
+Config schema (YAML):
+    mode: edit | del | add | recon
+    gs_source: scene.ply            # or points from colmap for recon
+    colmap_dir: dataset/            # COLMAP workspace with sparse/0
+    height: 512
+    width: 512
+    capacity_multiplier: 4          # param capacity = multiplier * N
+    guidance: fake | ip2p | controlnet-p2p
+    segmentor: fake | langsam
+    output_dir: outputs/<name>
+    system: {EditConfig / DelConfig / AddConfig / ReconConfig fields}
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from gaussianeditor_tpu.config.config import load_config, parse_structured
+
+
+def build_guidance(name: str, cfg: dict):
+    if name == "fake":
+        from gaussianeditor_tpu.guidance.fake import FakeGuidance
+
+        return FakeGuidance()
+    if name == "ip2p":
+        from gaussianeditor_tpu.guidance.diffusers_adapters import (
+            InstructPix2PixGuidance,
+        )
+
+        return InstructPix2PixGuidance(**cfg.get("guidance_kwargs", {}))
+    if name.startswith("controlnet"):
+        from gaussianeditor_tpu.guidance.diffusers_adapters import (
+            ControlNetGuidance,
+        )
+
+        control_type = name.split("-", 1)[1] if "-" in name else "p2p"
+        return ControlNetGuidance(control_type=control_type,
+                                  **cfg.get("guidance_kwargs", {}))
+    raise ValueError(f"unknown guidance '{name}'")
+
+
+def build_segmentor(name: str):
+    if name == "fake":
+        from gaussianeditor_tpu.guidance.fake import FakeSegmentor
+
+        return FakeSegmentor()
+    if name == "langsam":
+        from gaussianeditor_tpu.guidance.diffusers_adapters import (
+            LangSAMSegmentor,
+        )
+
+        return LangSAMSegmentor()
+    raise ValueError(f"unknown segmentor '{name}'")
+
+
+def build_inpainter(name: str):
+    if name == "fake":
+        from gaussianeditor_tpu.guidance.fake import FakeInpainter
+
+        return FakeInpainter()
+    if name == "controlnet":
+        from gaussianeditor_tpu.guidance.diffusers_adapters import (
+            ControlNetInpainter,
+        )
+
+        return ControlNetInpainter()
+    if name == "sdxl":
+        from gaussianeditor_tpu.guidance.diffusers_adapters import SDXLInpainter
+
+        return SDXLInpainter()
+    raise ValueError(f"unknown inpainter '{name}'")
+
+
+class MetricsLogger:
+    """CSV-style JSON-lines logger (the reference's CSVLogger role)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+
+    def __call__(self, step: int, metrics: dict) -> None:
+        row = {"step": step}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self.f.write(json.dumps(row) + "\n")
+        self.f.flush()
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--test", action="store_true",
+                        help="render a turntable video of the result")
+    parser.add_argument("--export", action="store_true",
+                        help="save the resulting scene as PLY")
+    parser.add_argument("overrides", nargs="*", help="key.path=value")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    mode = cfg.get("mode", "edit")
+    out_dir = cfg.get("output_dir", "outputs/trial")
+    trial_dir = os.path.join(out_dir, time.strftime("%Y%m%d-%H%M%S"))
+    os.makedirs(trial_dir, exist_ok=True)
+    # config snapshot (ConfigSnapshotCallback parity)
+    with open(os.path.join(trial_dir, "parsed.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(cfg, f)
+
+    from gaussianeditor_tpu.data.camera_scene import CamScene
+    from gaussianeditor_tpu.models.gaussians import GaussianScene
+    from gaussianeditor_tpu.models.ply import load_ply, ply_vertex_count, save_ply
+
+    h, w = int(cfg.get("height", 512)), int(cfg.get("width", 512))
+    scene_cams = CamScene(cfg["colmap_dir"], h=h, w=w)
+    cap_mult = float(cfg.get("capacity_multiplier", 4))
+
+    if cfg.get("gs_source"):
+        n_pts = ply_vertex_count(cfg["gs_source"])
+        scene = load_ply(cfg["gs_source"], capacity=int(n_pts * cap_mult))
+    else:
+        xyz, rgb = scene_cams.load_points()
+        scene = GaussianScene.from_points(
+            xyz, rgb, max_sh_degree=int(cfg.get("sh_degree", 3)),
+            capacity=int(len(xyz) * cap_mult),
+        )
+
+    logger = MetricsLogger(trial_dir)
+    sys_cfg = dict(cfg.get("system", {}))
+    sys_cfg.setdefault("cameras_extent", scene_cams.cameras_extent)
+
+    system = None
+    if mode == "edit":
+        from gaussianeditor_tpu.edit.edit_system import EditConfig, EditSystem
+
+        system = EditSystem(
+            scene, scene_cams.cameras, parse_structured(EditConfig, sys_cfg),
+            guidance=build_guidance(cfg.get("guidance", "fake"), cfg),
+            segmentor=build_segmentor(cfg.get("segmentor", "fake"))
+            if sys_cfg.get("seg_prompt") else None,
+        )
+    elif mode == "del":
+        from gaussianeditor_tpu.edit.del_system import DelConfig, DelSystem
+
+        system = DelSystem(
+            scene, scene_cams.cameras, parse_structured(DelConfig, sys_cfg),
+            inpainter=build_inpainter(cfg.get("inpainter", "fake")),
+            segmentor=build_segmentor(cfg.get("segmentor", "fake")),
+        )
+    elif mode == "add":
+        from gaussianeditor_tpu.edit.add_system import AddConfig, AddSystem
+        from gaussianeditor_tpu.guidance.fake import FakeSegmentor
+
+        def _fake_generator(image, prompt):
+            # Without Wonder3D weights, generate a colored blob object;
+            # real deployments plug a Wonder3D adapter here.
+            rng = np.random.RandomState(0)
+            pts = rng.normal(0, 0.3, (2000, 3)).astype(np.float32)
+            color = np.asarray(image, np.float32).reshape(-1, 3).mean(0)
+            return GaussianScene.from_points(
+                pts, np.tile(color, (2000, 1)), max_sh_degree=0
+            )
+
+        system = AddSystem(
+            scene, scene_cams.cameras, parse_structured(AddConfig, sys_cfg),
+            inpainter=build_inpainter(cfg.get("inpainter", "fake")),
+            object_generator=_fake_generator,
+        )
+        merged = system.run()
+        save_ply(merged, os.path.join(trial_dir, "merged.ply"))
+    elif mode == "recon":
+        raise SystemExit(
+            "recon mode requires posed images; use train.recon.ReconTrainer "
+            "programmatically"
+        )
+    else:
+        raise ValueError(f"unknown mode '{mode}'")
+
+    if args.train and mode in ("edit", "del"):
+        system.fit(callback=logger)
+    elif args.train and mode == "add" and system.cfg.refine_steps > 0:
+        from gaussianeditor_tpu.guidance.fake import FakeGuidance
+
+        system.guidance = FakeGuidance()
+        system.fit(n_steps=system.cfg.refine_steps, callback=logger)
+
+    final_scene = system.scene if system is not None else scene
+
+    if args.export or args.train:
+        save_ply(final_scene, os.path.join(trial_dir, "last.ply"))
+        print(f"saved {os.path.join(trial_dir, 'last.ply')}")
+
+    if args.test:
+        import jax
+        import jax.numpy as jnp
+
+        from gaussianeditor_tpu.core.cameras import orbit_cameras
+        from gaussianeditor_tpu.ops.render import render
+        from gaussianeditor_tpu.utils.saving import save_video
+
+        center = np.asarray(final_scene.params.xyz)[
+            np.asarray(final_scene.alive)
+        ].mean(axis=0)
+        cams = orbit_cameras(
+            int(cfg.get("test_views", 60)),
+            radius=scene_cams.cameras_extent,
+            fovx=0.8, fovy=0.8, height=h, width=w, center=center,
+        )
+        rfn = jax.jit(lambda s, c: render(s, c, jnp.zeros(3)).color)
+        frames = [np.asarray(rfn(final_scene, c)) for c in cams]
+        written = save_video(os.path.join(trial_dir, "turntable.mp4"), frames)
+        print(f"saved {written}")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,20 +160,23 @@ class GaussianScene:
         alive: Optional[jnp.ndarray] = None,
     ) -> "GaussianScene":
         C = params.capacity
+        # aux state built host-side in numpy: on remote-dispatch backends
+        # every tiny eager jnp op is a round-trip (+compile), which made
+        # scene loading take tens of seconds
         if alive is None:
-            alive = jnp.ones((C,), dtype=bool)
-        weights = jnp.zeros((MAX_GENERATIONS,), jnp.float32).at[0].set(
-            anchor_weight_init_g0
-        )
+            alive = np.ones((C,), dtype=bool)
+        alive = np.asarray(alive)
+        weights = np.zeros((MAX_GENERATIONS,), np.float32)
+        weights[0] = anchor_weight_init_g0
         if active_sh_degree is None:
             active_sh_degree = 0
         return cls(
             params=params,
-            alive=alive,
-            generation=jnp.zeros((C,), jnp.int32),
+            alive=jnp.asarray(alive),
+            generation=jnp.asarray(np.zeros((C,), np.int32)),
             mask=jnp.asarray(alive),  # "all updatable" == all alive slots
             anchor=jax.tree_util.tree_map(jnp.asarray, params),
-            anchor_weights=weights,
+            anchor_weights=jnp.asarray(weights),
             n_generations=jnp.asarray(1, jnp.int32),
             active_sh_degree=jnp.asarray(active_sh_degree, jnp.int32),
             max_sh_degree=max_sh_degree,
@@ -231,7 +234,7 @@ class GaussianScene:
             log_scales=pad(log_scales),
             quats=pad(quats),
         )
-        alive = jnp.arange(capacity) < n
+        alive = np.arange(capacity) < n
         return cls.create(
             params,
             max_sh_degree=max_sh_degree,

@@ -77,6 +77,22 @@ def _read_ply_vertices(path: str) -> Dict[str, np.ndarray]:
         return out
 
 
+def ply_vertex_count(path: str) -> int:
+    """Vertex count from the header alone — use this (not a throwaway
+    load_ply + n_alive) to size capacities: on remote-dispatch backends
+    even one stray eager reduction can cost a slow remote compile."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        for _ in range(1000):
+            tokens = f.readline().decode("ascii", "replace").split()
+            if tokens[:2] == ["element", "vertex"]:
+                return int(tokens[2])
+            if tokens[:1] == ["end_header"]:
+                break
+    raise ValueError(f"{path}: no vertex element in header")
+
+
 def save_ply(scene, path: str) -> None:
     """Write a GaussianScene (alive slots only) in the Inria layout."""
     scene = scene.compact()
@@ -169,5 +185,5 @@ def load_ply(path: str, capacity=None, anchor_weight_init_g0: float = 0.05):
         max_sh_degree=max_sh_degree,
         anchor_weight_init_g0=anchor_weight_init_g0,
         active_sh_degree=max_sh_degree,
-        alive=jnp.arange(capacity) < n,
+        alive=np.arange(capacity) < n,
     )

@@ -16,13 +16,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def mean_sq_dist_to_3nn(points: np.ndarray) -> np.ndarray:
+def mean_sq_dist_to_3nn(points: np.ndarray, prefer_native: bool = True) -> np.ndarray:
     """distCUDA2 equivalent: mean *squared* distance to each point's 3
     nearest neighbors (simple_knn.cu:185, used gaussian_model.py:288-292).
-    Host-side (numpy/scipy)."""
+
+    Uses the threaded C++ Morton-window implementation
+    (native/simple_knn.cpp — the host-native analog of the reference's
+    CUDA extension) when the toolchain is available, else scipy KDTree.
+    """
+    points = np.asarray(points, dtype=np.float32)
+    if prefer_native and len(points) > 4:
+        from gaussianeditor_tpu.native import mean_sq_dist_3nn_native
+
+        out = mean_sq_dist_3nn_native(points)
+        if out is not None:
+            return out
+
     from scipy.spatial import cKDTree
 
-    points = np.asarray(points, dtype=np.float32)
     tree = cKDTree(points)
     # k=4: the first hit is the point itself at distance 0.
     dists, _ = tree.query(points, k=min(4, len(points)))

@@ -1,0 +1,90 @@
+"""WebUI server driven over real HTTP: frames, tracing, training, save."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gaussianeditor_tpu.apps.webui import WebUIState, serve
+from gaussianeditor_tpu.core.cameras import orbit_cameras
+from gaussianeditor_tpu.edit.edit_system import EditConfig
+from gaussianeditor_tpu.guidance.fake import FakeGuidance, FakeSegmentor
+from tests.helpers import random_scene
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    scene = random_scene(60, seed=0)
+    cams = orbit_cameras(4, 4.0, 0.8, 0.8, 48, 48)
+    state = WebUIState(
+        scene, cams, cameras_extent=2.0,
+        guidance=FakeGuidance(), segmentor=FakeSegmentor(),
+        edit_config=EditConfig(batch_size=2, cameras_extent=2.0,
+                               densify_until_step=0, max_instances=8192,
+                               tile_cap=256, chunk=32),
+    )
+    srv = serve(state, port=18731, block=False)
+    yield "http://localhost:18731", state
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_index_and_render(server_url):
+    url, _ = server_url
+    body, ctype = _get(url + "/")
+    assert b"gaussianeditor_tpu" in body and "text/html" in ctype
+    png, ctype = _get(url + "/render?theta=0.5&phi=0.2&radius=4&size=64")
+    assert ctype == "image/png" and png[:8] == b"\x89PNG\r\n\x1a\n"
+    import imageio.v2 as imageio
+    import io
+
+    img = imageio.imread(io.BytesIO(png))
+    assert img.shape[:2] == (64, 64)
+
+
+def test_trace_and_overlay(server_url):
+    url, state = server_url
+    out = _post(url + "/trace", {"prompt": "thing", "threshold": 0.99})
+    assert "selected" in out and out["total"] == 60
+    png, _ = _get(url + "/render?theta=0&phi=0&radius=4&size=64&overlay=1")
+    assert png[:4] == b"\x89PNG"
+
+
+def test_edit_train_stop_save(server_url, tmp_path):
+    url, state = server_url
+    out = _post(url + "/edit", {"prompt": "bluer", "steps": 6, "mode": "edit"})
+    assert out.get("started")
+    for _ in range(120):
+        st = json.loads(_get(url + "/status")[0])
+        if not st["training"] and "loss" in st:
+            break
+        time.sleep(0.5)
+    assert "loss" in st and np.isfinite(st["loss"])
+    out = _post(url + "/save", {"path": str(tmp_path / "webui.ply")})
+    assert out["saved"].endswith("webui.ply")
+    from gaussianeditor_tpu.models.ply import load_ply
+
+    assert int(load_ply(out["saved"]).n_alive) == 60
+
+
+def test_bad_requests(server_url):
+    url, _ = server_url
+    with pytest.raises(urllib.error.HTTPError):
+        _get(url + "/nope")
+    req = urllib.request.Request(url + "/trace", data=b"not json",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(req, timeout=30)
