@@ -188,6 +188,25 @@ class WebUIState:
             n_sel = int(np.asarray(self.scene.mask).sum())
         return {"selected": n_sel, "total": int(self.scene.n_alive)}
 
+    def click_trace(self, view: int, x: float, y: float,
+                    threshold: float) -> dict:
+        """Click-prompt tracing (webui.py:890-958) with the pluggable
+        point segmentor (falls back to the text segmentor's color logic)."""
+        from gaussianeditor_tpu.edit.tracing import trace_from_click
+        from gaussianeditor_tpu.guidance.fake import FakePointSegmentor
+
+        seg = getattr(self, "point_segmentor", None) or FakePointSegmentor()
+        with self.lock:
+            self.scene, _ = trace_from_click(
+                self.scene, self.cameras, int(view), (float(x), float(y)),
+                seg, threshold,
+                tile_cap=self.edit_config.tile_cap,
+                chunk=self.edit_config.chunk,
+            )
+            self.scene = self.scene.update_anchor()
+            n_sel = int(np.asarray(self.scene.mask).sum())
+        return {"selected": n_sel, "total": int(self.scene.n_alive)}
+
     def start_training(self, prompt: str, steps: int, mode: str) -> dict:
         if self.training:
             return {"error": "already training"}
@@ -300,6 +319,12 @@ def make_handler(state: WebUIState):
             if url.path == "/trace":
                 self._json(state.trace(payload.get("prompt", ""),
                                        float(payload.get("threshold", 0.5))))
+            elif url.path == "/click":
+                self._json(state.click_trace(
+                    payload.get("view", 0), payload.get("x", 0),
+                    payload.get("y", 0),
+                    float(payload.get("threshold", 0.5)),
+                ))
             elif url.path == "/edit":
                 self._json(state.start_training(
                     payload.get("prompt", ""),

@@ -46,6 +46,7 @@ class EditConfig:
 
     prompt: str = ""
     seg_prompt: str = ""            # empty -> no semantic tracing
+    local_edit: bool = False        # train/render only the masked region
     mask_thres: float = 0.5
     batch_size: int = 2
     max_steps: int = 1500
@@ -130,6 +131,7 @@ class EditSystem:
         self.optim = make_optimizer(config)
         self.train_step = make_train_step(
             self.optim, config.loss, perceptual=perceptual,
+            local_edit=config.local_edit,
             max_instances=config.max_instances,
             tile_cap=config.tile_cap, chunk=config.chunk,
         )
@@ -154,7 +156,7 @@ class EditSystem:
         self.key = jax.random.key(config.seed)
         self._render_cache = jax.jit(
             lambda s, c: render(
-                s, c, jnp.zeros(3), impl="tiled",
+                s, c, jnp.zeros(3),
                 max_instances=config.max_instances,
                 tile_cap=config.tile_cap, chunk=config.chunk,
             ).color
@@ -226,7 +228,22 @@ class EditSystem:
             targets = jnp.asarray(
                 np.stack([self.edit_frames[v] for v in view_ids])
             )
-            self.state, metrics = self.train_step(self.state, cam_batch, targets)
+            # C()-scheduled lambdas evaluated per step (the reference's
+            # self.C(self.cfg.loss.*), GassuianEditorEdit.py:100-148)
+            from gaussianeditor_tpu.config.config import C
+
+            w = self.cfg.loss
+            weights_t = type(w)(
+                **{
+                    f: C(getattr(w, f), step)
+                    for f in ("lambda_l1", "lambda_p", "lambda_anchor_color",
+                              "lambda_anchor_geo", "lambda_anchor_scale",
+                              "lambda_anchor_opacity")
+                }
+            )
+            self.state, metrics = self.train_step(
+                self.state, cam_batch, targets, weights_t
+            )
             if (
                 step < self.cfg.densify_until_step
                 and step > 0

@@ -57,6 +57,57 @@ def accumulate_view_weights(
     return weights, cnt
 
 
+def trace_from_click(
+    scene,
+    cameras: Sequence[Camera],
+    click_view: int,
+    click_xy,
+    point_segmentor,
+    mask_thres: float = 0.5,
+    *,
+    render_fn=None,
+    tile_cap: int = 1024,
+    chunk: int = 128,
+):
+    """Click-prompt tracing (webui.py:890-958): unproject the click
+    through the rendered depth of the clicked view, re-project the 3D
+    point into every view, run the point-prompted segmentor per view,
+    and lift the masks with apply_weights.
+
+    point_segmentor: (image [H,W,3], points [N,2]) -> [H,W] mask — the
+    SAM point-predictor protocol (webui.py:913-928).
+    Returns (scene_with_mask, normalized_weights).
+    """
+    import jax
+
+    from gaussianeditor_tpu.ops.render import render as _render
+    from gaussianeditor_tpu.utils.camera_math import project, unproject
+
+    if render_fn is None:
+        render_fn = jax.jit(
+            lambda s, c: _render(s, c, tile_cap=tile_cap, chunk=chunk)
+        )
+    out = render_fn(scene, cameras[click_view])
+    depth = np.asarray(out.depth)
+    pt3d = unproject(cameras[click_view], np.asarray([click_xy], np.float32),
+                     depth)
+
+    masks = []
+    for cam in cameras:
+        pix, z = project(cam, pt3d)
+        img = np.asarray(render_fn(scene, cam).color)
+        in_view = (
+            (0 <= pix[0, 0] < cam.width) and (0 <= pix[0, 1] < cam.height)
+            and z[0] > 0
+        )
+        if in_view:
+            masks.append(point_segmentor(img, pix))
+        else:
+            masks.append(np.zeros((cam.height, cam.width), np.float32))
+    return update_mask_from_views(scene, cameras, masks, mask_thres,
+                                  tile_cap=tile_cap, chunk=chunk)
+
+
 def update_mask_from_views(
     scene,
     cameras: Sequence[Camera],

@@ -61,6 +61,24 @@ class FakeSegmentor:
         return (d < self.radius).astype(np.float32)
 
 
+class FakePointSegmentor:
+    """Point-prompted segmentation stand-in (SAM point predictor,
+    webui.py:913-928): selects pixels whose color is close to the color
+    under the (first) click point."""
+
+    def __init__(self, radius: float = 0.25):
+        self.radius = radius
+
+    def __call__(self, image, points) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        p = np.asarray(points)
+        x = int(np.clip(p[0, 0], 0, img.shape[1] - 1))
+        y = int(np.clip(p[0, 1], 0, img.shape[0] - 1))
+        ref = img[y, x]
+        d = np.linalg.norm(img - ref[None, None], axis=-1)
+        return (d < self.radius).astype(np.float32)
+
+
 class FakeInpainter:
     """Fills the masked region with the mean color of the unmasked region
     (a deterministic 'plausible fill')."""

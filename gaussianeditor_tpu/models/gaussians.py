@@ -138,6 +138,12 @@ class GaussianScene:
     def set_mask(self, mask: jnp.ndarray) -> "GaussianScene":
         return self.replace(mask=mask.astype(bool))
 
+    def localized(self) -> "GaussianScene":
+        """View of the scene restricted to the semantic mask — the
+        reference `localize` property family (gaussian_model.py:221-268),
+        used by local_edit to render/train only the edited region."""
+        return self.replace(alive=self.alive & self.mask)
+
     def anchor_postfix(self) -> "GaussianScene":
         """Reset generations + schedule after an edit round
         (gaussian_model.py:104-108)."""

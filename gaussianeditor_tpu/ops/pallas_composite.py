@@ -128,17 +128,21 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
     CH1 = ch + 1
     F = _pad8(7 + ch)
 
-    def kernel(ct_ref, cf_ref, nv_ref, co_ref, inst_ref,
-               acc_ref, t_ref, nc_ref, done_sc):
+    OUTC = CH1 + 2  # acc columns, then T, then n_contrib (as f32)
+
+    def kernel(ct_ref, cf_ref, nv_ref, co_ref, inst_ref, out_ref, done_sc):
         c = pl.program_id(0)
         tile = ct_ref[c]
         pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
 
         @pl.when(cf_ref[c] == 1)
         def _init():
-            acc_ref[0] = jnp.zeros((PX, CH1), jnp.float32)
-            t_ref[0, 0] = jnp.ones((PX,), jnp.float32)
-            nc_ref[0, 0] = jnp.zeros((PX,), jnp.int32)
+            out_ref[0] = jnp.concatenate(
+                [jnp.zeros((PX, CH1), jnp.float32),   # accumulators
+                 jnp.ones((PX, 1), jnp.float32),      # T starts at 1
+                 jnp.zeros((PX, 1), jnp.float32)],    # n_contrib
+                axis=1,
+            )
             done_sc[:] = jnp.zeros((PX, 1), jnp.float32)
 
         n_valid = nv_ref[c]
@@ -154,7 +158,7 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             cyy = buf[4:5, :]
             op = buf[5:6, :]
 
-            T = t_ref[0, 0][:, None]    # [PX, 1]
+            T = out_ref[0, :, CH1][:, None]    # [PX, 1]
             done = done_sc[:]
 
             dx = xs - pixf_x            # [PX, CHUNK]
@@ -179,16 +183,19 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
 
             w = jnp.where(contributes, alpha * T * jnp.exp(cum - lf), 0.0)
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-            acc_ref[0] = acc_ref[0] + _dot(w, featd, ((1,), (1,)))
+            acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
 
             T_new = T * jnp.exp(
                 jnp.sum(jnp.where(contributes, lf, 0.0), axis=-1,
                         keepdims=True)
             )
-            t_ref[0, 0] = T_new[:, 0]
             pos1 = co_ref[c] + lane + 1
-            nc_new = jnp.max(jnp.where(contributes, pos1, 0), axis=-1)
-            nc_ref[0, 0] = jnp.maximum(nc_ref[0, 0], nc_new)
+            nc_new = jnp.max(
+                jnp.where(contributes, pos1, 0).astype(jnp.float32), axis=-1,
+                keepdims=True,
+            )
+            nc_upd = jnp.maximum(out_ref[0, :, CH1 + 1][:, None], nc_new)
+            out_ref[0] = jnp.concatenate([acc_new, T_new, nc_upd], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # tile, first, n_valid, offset
@@ -197,10 +204,8 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             pl.BlockSpec((F, CHUNK), lambda c, ct, cf, nv, co: (0, c)),
         ],
         out_specs=[
-            pl.BlockSpec((1, PX, CH1),
+            pl.BlockSpec((1, PX, CH1 + 2),
                          lambda c, ct, cf, nv, co: (ct[c], 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda c, ct, cf, nv, co: (ct[c], 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda c, ct, cf, nv, co: (ct[c], 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((PX, 1), jnp.float32)],
     )
@@ -209,9 +214,7 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, PX, CH1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, PX, CH1 + 2), jnp.float32),
         ],
         interpret=_interpret(),
     )
@@ -223,25 +226,38 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
     # rows: dmean_x, dmean_y, dcxx, dcxy, dcyy, dop, dcolor..., ddepth, pad
     GF = _pad8(6 + CH1)
 
-    def kernel(ct_ref, cl_ref, nv_ref, co_ref, inst_ref, gacc_ref, gt_ref,
-               tfin_ref, nc_ref, grad_ref, logt_sc, s_sc):
-        i = pl.program_id(0)
-        c = num_chunks - 1 - i
+    INC = 2 * CH1 + 3  # g_acc | acc | g_T | t_fin | nc(f32)
+
+    def kernel(ct_ref, cf_ref, nv_ref, co_ref, act_ref, inst_ref, gall_ref,
+               grad_ref, logt_sc, s_sc, stot_sc):
+        c = pl.program_id(0)
         tile = ct_ref[c]
         pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
 
-        @pl.when(cl_ref[c] == 1)
+        @pl.when(cf_ref[c] == 1)
         def _init():
-            # T_fin >= T_MIN by construction; the log is safe
-            logt_sc[:] = jnp.log(
-                jnp.maximum(tfin_ref[0, 0], T_MIN)
-            )[:, None]
+            # FORWARD-order backward: T starts at 1 and the suffix sums
+            # come from S_total - running prefix, where S_total(px) =
+            # sum_ch g_acc * acc is known from the forward residuals.
+            # (Reverse-order traversal with reversed BlockSpec index maps
+            # measured no faster in Mosaic, but forward order shares the
+            # forward kernel's streaming pattern and needs no final_T log.)
+            logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
             s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+            gall0 = gall_ref[0]
+            stot_sc[:] = jnp.sum(
+                gall0[:, :CH1] * gall0[:, CH1:2 * CH1], axis=-1, keepdims=True
+            )
 
         n_valid = nv_ref[c]
         grad_ref[:] = jnp.zeros((GF, CHUNK), jnp.float32)
 
-        @pl.when(n_valid > 0)
+        # act gates out chunks past the tile's last contributor: every
+        # pixel's m-mask is all-False there, so grads are zero and the
+        # (logT, S) carries are unchanged — skipping is exact. This is
+        # the backward analog of the forward early exit (the CUDA
+        # backward skips until last_contributor, backward.cu:441-447).
+        @pl.when(act_ref[c] == 1)
         def _compute():
             buf = inst_ref[:]
             xs = buf[0:1, :]
@@ -252,9 +268,10 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             op = buf[5:6, :]
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
 
-            g_acc = gacc_ref[0]                    # [PX, CH1]
-            gT_term = (gt_ref[0, 0] * tfin_ref[0, 0])[:, None]  # [PX, 1]
-            nc = nc_ref[0, 0][:, None]             # [PX, 1]
+            gall = gall_ref[0]                     # [PX, INC]
+            g_acc = gall[:, :CH1]
+            gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
+            nc = gall[:, 2 * CH1 + 2][:, None]     # [PX, 1] (f32 positions)
 
             dx = xs - pixf_x
             dy = ys - pixf_y
@@ -264,22 +281,23 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            pos = co_ref[c] + lane
+            pos = (co_ref[c] + lane).astype(jnp.float32)
             skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
             m = (~skipped) & (pos < nc)  # contributed in forward
 
             lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
             excl = _dot(lf, _tri_incl(), ((1,), (0,))) - lf
             total = jnp.sum(lf, axis=-1, keepdims=True)
-            # log-space transmittance reconstruction (chunk-wise analog of
-            # CUDA's T = T/(1-alpha)); exp(-total) alone can overflow
-            logT_in = logt_sc[:] - total
-            T_k = jnp.exp(logT_in + excl)
+            # T before instance k, reconstructed in log space going forward
+            T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))  # [PX, CHUNK]
             mf = m.astype(jnp.float32)
             u = mf * alpha * T_k * c_hat
-            S_at = s_sc[:] + _dot(u, _tri_strict_after(), ((1,), (0,)))
+            u_total = jnp.sum(u, axis=-1, keepdims=True)
+            # suffix sum over instances AFTER k: S_total - inclusive prefix
+            S_incl = s_sc[:] + _dot(u, _tri_incl(), ((1,), (0,)))
+            S_at = stot_sc[:] - S_incl
 
             f = 1.0 - alpha
             dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
@@ -290,17 +308,37 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             w = mf * alpha * T_k
             gfeat = _dot(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
 
-            def rsum(x):  # [PX, CHUNK] -> [1, CHUNK]
-                return jnp.sum(x, axis=0, keepdims=True)
+            # The six per-instance pixel reductions decompose through the
+            # separability dx = xs(k) - px(p): every sum_p dpower * poly(dx,
+            # dy) is a lane-wise combination of the moment rows
+            # M = [1, px, py, px^2, py^2, px*py]^T @ dpower — ONE [6,256]x
+            # [256,128] MXU matmul instead of six cross-sublane reductions.
+            pxv = pixf_x[:, 0]
+            pyv = pixf_y[:, 0]
+            P6 = jnp.stack(
+                [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
+                 pxv * pyv],
+                axis=0,
+            )  # [6, PX]
+            M = _dot(P6, dpower, ((1,), (0,)))        # [6, CHUNK]
+            m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
+            # sum_p dpower * dx        = xs*m0 - mx   (dx = xs - px)
+            sdx = xs * m0 - mx
+            sdy = ys * m0 - my
+            sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
+            sdyy = ys * ys * m0 - 2.0 * ys * my + myy
+            sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
+            dop_row = _dot(jnp.ones((1, PX), jnp.float32), dop,
+                           ((1,), (0,)))
 
             rows = jnp.concatenate(
                 [
-                    rsum(dpower * (-(cxx * dx + cxy * dy))),
-                    rsum(dpower * (-(cyy * dy + cxy * dx))),
-                    rsum(dpower * (-0.5 * dx * dx)),
-                    rsum(dpower * (-dx * dy)),
-                    rsum(dpower * (-0.5 * dy * dy)),
-                    rsum(dop),
+                    -(cxx * sdx + cxy * sdy),
+                    -(cyy * sdy + cxy * sdx),
+                    -0.5 * sdxx,
+                    -sdxy,
+                    -0.5 * sdyy,
+                    dop_row,
                     gfeat,
                 ],
                 axis=0,
@@ -312,31 +350,24 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
                 )
             grad_ref[:] = rows
 
-            logt_sc[:] = logT_in
-            s_sc[:] = s_sc[:] + jnp.sum(u, axis=-1, keepdims=True)
-
-    rev = num_chunks - 1
+            logt_sc[:] = logt_sc[:] + total
+            s_sc[:] = s_sc[:] + u_total
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # tile, last, n_valid, offset
+        num_scalar_prefetch=5,  # tile, first, n_valid, offset, active
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((F, CHUNK),
-                         lambda c, ct, cl, nv, co: (0, rev - c)),
-            pl.BlockSpec((1, PX, CH1),
-                         lambda c, ct, cl, nv, co: (ct[rev - c], 0, 0)),
-            pl.BlockSpec((1, 1, PX),
-                         lambda c, ct, cl, nv, co: (ct[rev - c], 0, 0)),
-            pl.BlockSpec((1, 1, PX),
-                         lambda c, ct, cl, nv, co: (ct[rev - c], 0, 0)),
-            pl.BlockSpec((1, 1, PX),
-                         lambda c, ct, cl, nv, co: (ct[rev - c], 0, 0)),
+                         lambda c, ct, cf, nv, co, a: (0, c)),
+            pl.BlockSpec((1, PX, 2 * CH1 + 3),
+                         lambda c, ct, cf, nv, co, a: (ct[c], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((GF, CHUNK),
-                         lambda c, ct, cl, nv, co: (0, rev - c)),
+                         lambda c, ct, cf, nv, co, a: (0, c)),
         ],
         scratch_shapes=[
+            pltpu.VMEM((PX, 1), jnp.float32),
             pltpu.VMEM((PX, 1), jnp.float32),
             pltpu.VMEM((PX, 1), jnp.float32),
         ],
@@ -396,16 +427,16 @@ def make_pallas_compositor(n_tiles: int, grid_x: int, ch: int, r2: int,
         meta = make_chunk_meta(ab, num_chunks)
         inst = pack_instances(mean2d, conic, opacity, color, depth, gid,
                               valid)
-        acc, t_fin, nc = fwd_call(meta.tile, meta.first, meta.n_valid,
-                                  meta.offset, inst)
+        (out,) = fwd_call(meta.tile, meta.first, meta.n_valid,
+                          meta.offset, inst)
         # tiles with zero instances are never visited by the kernel
-        empty = tl <= 0
-        acc = jnp.where(empty[:, None, None], 0.0, acc)
-        t_fin = jnp.where(empty[:, None, None], 1.0, t_fin)
-        nc = jnp.where(empty[:, None, None], 0, nc)
+        empty = (tl <= 0)[:, None]
+        acc = jnp.where(empty[..., None], 0.0, out[..., :CH1])
+        t_fin = jnp.where(empty, 1.0, out[..., CH1])
+        nc = jnp.where(empty, 0.0, out[..., CH1 + 1]).astype(jnp.int32)
         return PallasTiles(
             color=acc[..., :ch], depth=acc[..., ch],
-            final_T=t_fin[:, 0], n_contrib=nc[:, 0],
+            final_T=t_fin, n_contrib=nc,
         ), (inst, meta)
 
     @jax.custom_vjp
@@ -419,14 +450,27 @@ def make_pallas_compositor(n_tiles: int, grid_x: int, ch: int, r2: int,
         out, (inst, meta) = run_forward(
             (mean2d, conic, opacity, color, depth, gid, valid, ts, tl)
         )
-        return out, (inst, meta, gid, valid, out.final_T, out.n_contrib)
+        acc = jnp.concatenate([out.color, out.depth[..., None]], axis=-1)
+        return out, (inst, meta, gid, valid, acc, out.final_T,
+                     out.n_contrib)
 
     def composite_bwd(res, g):
-        inst, meta, gid, valid, t_fin, nc = res
-        g_acc = jnp.concatenate([g.color, g.depth[..., None]], axis=-1)
+        inst, meta, gid, valid, acc, t_fin, nc = res
+        # pack g_acc | acc | g_T | t_fin | nc into the single per-tile
+        # stream (acc provides S_total for the forward-order suffix
+        # reconstruction)
+        gall = jnp.concatenate(
+            [g.color, g.depth[..., None], acc, g.final_T[..., None],
+             t_fin[..., None], nc.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )  # [n_tiles, PX, 2*CH1+3]
+        # chunks past the tile's last contributor have no gradient work
+        max_nc = jnp.max(nc, axis=-1)  # [n_tiles]
+        active = ((meta.n_valid > 0)
+                  & (meta.offset < max_nc[meta.tile])).astype(jnp.int32)
         (grows,) = bwd_call(
-            meta.tile, meta.last, meta.n_valid, meta.offset,
-            inst, g_acc, g.final_T[:, None], t_fin[:, None], nc[:, None],
+            meta.tile, meta.first, meta.n_valid, meta.offset, active,
+            inst, gall,
         )
         # one combined row-scatter: [R2, GF] rows add into [C+1, GF]
         # (the +1 dummy row swallows padding slots; where-mask would also

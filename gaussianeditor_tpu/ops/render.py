@@ -18,6 +18,7 @@ Differences vs the reference wrapper, by design:
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -38,6 +39,37 @@ class RenderOutput(NamedTuple):
     visible: jnp.ndarray      # [C] bool (visibility_filter == radii > 0)
     num_rendered: jnp.ndarray  # scalar int32
     overflow: jnp.ndarray      # scalar bool
+
+
+def point_cloud_render(
+    xyz: jnp.ndarray,
+    camera: Camera,
+    *,
+    point_scale: float = 0.01,
+    color: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+    **kwargs,
+) -> "RenderOutput":
+    """Render raw points as fixed-size opaque white Gaussians — the
+    reference's `point_cloud_render` debug view
+    (gaussian_renderer/__init__.py:156-250)."""
+    from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
+
+    n = xyz.shape[0]
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        features_dc=jnp.zeros((n, 1, 3), jnp.float32),
+        features_rest=jnp.zeros((n, 0, 3), jnp.float32),
+        opacity_raw=jnp.full((n, 1), 10.0, jnp.float32),  # ~opaque
+        log_scales=jnp.full((n, 3), math.log(point_scale), jnp.float32),
+        quats=jnp.concatenate(
+            [jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1
+        ).astype(jnp.float32),
+    )
+    scene = GaussianScene.create(params, max_sh_degree=0)
+    if color is None:
+        color = jnp.ones((n, 3), jnp.float32)
+    return render(scene, camera, bg, override_color=color, **kwargs)
 
 
 def default_impl() -> str:

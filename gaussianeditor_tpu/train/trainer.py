@@ -84,6 +84,7 @@ def make_train_step(
     *,
     perceptual: Optional[Callable] = None,
     impl: Optional[str] = None,
+    local_edit: bool = False,
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
@@ -99,6 +100,10 @@ def make_train_step(
         state: TrainState,
         cam_batch: Camera,        # stacked pytree, leaves [B, ...]
         targets: jnp.ndarray,     # [B, H, W, 3] edited target images
+        weights: LossWeights = weights,
+        # weights as a dynamic arg: the reference evaluates C()-scheduled
+        # lambdas per step (GassuianEditorEdit.py:100-148); passing them as
+        # traced scalars avoids recompiling on schedule changes
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         scene = state.scene
         C = scene.capacity
@@ -107,6 +112,10 @@ def make_train_step(
 
         def loss_fn(params, offsets):
             s = scene.replace(params=params)
+            if local_edit:
+                # render only the masked region (GassuianEditorEdit.py:15
+                # local_edit -> gaussian.localize)
+                s = s.localized()
 
             def per_view(carry, xs):
                 leaves, target, offset = xs
