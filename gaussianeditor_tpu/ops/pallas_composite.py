@@ -53,9 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussianeditor_tpu.ops.binning import AlignedBinning
 from gaussianeditor_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_MIN
+from gaussianeditor_tpu.ops.preprocess import TILE
 
 CHUNK = 128
-PX = 256  # 16x16 pixels per tile
+PX = TILE * TILE  # pixels per tile
 
 
 def _pad8(n: int) -> int:
@@ -70,8 +71,8 @@ def _interpret() -> bool:
 def _pix_coords(tile_x, tile_y):
     """[PX, 1] float pixel coords of the tile (pixel centers at ints)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
-    px = tile_x * 16 + p % 16
-    py = tile_y * 16 + p // 16
+    px = tile_x * TILE + p % TILE
+    py = tile_y * TILE + p // TILE
     return px.astype(jnp.float32), py.astype(jnp.float32)
 
 

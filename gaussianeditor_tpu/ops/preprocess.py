@@ -27,7 +27,9 @@ from gaussianeditor_tpu.core.cameras import Camera
 from gaussianeditor_tpu.core.sh import eval_sh
 from gaussianeditor_tpu.core.transforms import build_covariance
 
-TILE = 16  # pixels per tile side (config.h:15-17 BLOCK_X/BLOCK_Y)
+TILE = 16  # pixels per tile side (config.h:15-17 BLOCK_X/BLOCK_Y; 8x8
+# tiles measured slower on TPU: instance duplication outweighs the
+# reduced per-chunk pixel work)
 
 
 class ProcessedGaussians(NamedTuple):

@@ -82,7 +82,8 @@ class TestBinning:
         scene = random_scene(64, seed=3)
         cam = make_camera(64, 64)
         proc = _proc(scene, cam)
-        b = _jit_bin(4, 4, 8192)(scene, cam)
+        g = 64 // TILE
+        b = _jit_bin(g, g, 8192)(scene, cam)
         assert int(b.num_rendered) == int(jnp.sum(proc.tiles_touched))
         assert not bool(b.overflow)
         total = int(jnp.sum(b.tile_end - b.tile_start))
@@ -92,10 +93,11 @@ class TestBinning:
         scene = random_scene(128, seed=4)
         cam = make_camera(64, 64)
         proc = _proc(scene, cam)
-        b = _jit_bin(4, 4, 8192)(scene, cam)
+        g = 64 // TILE
+        b = _jit_bin(g, g, 8192)(scene, cam)
         depth = np.asarray(proc.depth)
         gid = np.asarray(b.gauss_id)
-        for t in range(16):
+        for t in range(g * g):
             s, e = int(b.tile_start[t]), int(b.tile_end[t])
             d = depth[gid[s:e]]
             assert np.all(np.diff(d) >= 0)
@@ -103,7 +105,8 @@ class TestBinning:
     def test_overflow_flag(self):
         scene = random_scene(64, seed=3)
         cam = make_camera(64, 64)
-        b = _jit_bin(4, 4, 8)(scene, cam)
+        g = 64 // TILE
+        b = _jit_bin(g, g, 8)(scene, cam)
         assert bool(b.overflow)
 
 
