@@ -1,0 +1,88 @@
+"""Edit-loop throughput (BASELINE metric #2: edit iters/sec).
+
+Measures the full jitted edit step — batched render + photometric +
+anchor losses + backward + Adam — at the reference's canonical editing
+configuration (512x512, batch 2, ~100k Gaussians), with guidance target
+refreshes EXCLUDED (they are host-side diffusion, amortized by
+per_editing_step in both frameworks; the reference's own docs name them
+the dominant cost)."""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.core.cameras import orbit_cameras
+    from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
+    from gaussianeditor_tpu.train.optim import GaussianAdam, OptimConfig
+    from gaussianeditor_tpu.train.trainer import (
+        LossWeights,
+        init_train_state,
+        make_train_step,
+        stack_cameras,
+    )
+
+    n = 100_000
+    hw = 512
+    batch = 2
+    rng = np.random.RandomState(0)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
+        features_rest=jnp.asarray(np.zeros((n, 15, 3), np.float32)),
+        opacity_raw=jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.004, 0.02, (n, 3))).astype(np.float32)
+        ),
+        quats=jnp.asarray(quats),
+    )
+    scene = GaussianScene.create(params, max_sh_degree=3, active_sh_degree=3)
+    cams = orbit_cameras(batch, 4.0, 0.8, 0.8, hw, hw)
+    cam_batch = stack_cameras(cams)
+    targets = jnp.asarray(rng.rand(batch, hw, hw, 3).astype(np.float32))
+
+    optim = GaussianAdam(config=OptimConfig())
+    step = make_train_step(optim, LossWeights(), max_instances=524_288)
+    state = init_train_state(scene, optim)
+
+    n_iter = 10
+
+    # amortize inside one jitted loop: the single-chip tunnel has ~70 ms
+    # per-dispatch overhead (and has been observed to return from
+    # block_until_ready without the chain completing on chained
+    # dispatches)
+    @jax.jit
+    def run_n(st):
+        return jax.lax.fori_loop(
+            0, n_iter, lambda i, s: step(s, cam_batch, targets)[0], st
+        )
+
+    out = run_n(state)
+    jax.block_until_ready(out.scene.params.xyz)
+    t0 = time.perf_counter()
+    out = run_n(state)
+    jax.block_until_ready(out.scene.params.xyz)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    # The reference hardware anchor: GS render+backprop is "extremely
+    # fast" on an RTX 3090 — ~15 edit iters/s at this config is a
+    # conservative estimate of its non-diffusion step rate.
+    baseline_iters = 15.0
+    print(json.dumps({
+        "metric": f"edit iters/sec (512^2, batch {batch}, 100k gaussians)",
+        "value": round(1.0 / dt, 3),
+        "unit": "iters/s",
+        "vs_baseline": round((1.0 / dt) / baseline_iters, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
+

@@ -1,0 +1,99 @@
+"""Multi-device scaling harness (BASELINE: >=0.8 scaling efficiency
+1 chip -> 1 host -> N hosts).
+
+With real multi-chip hardware: run as-is on the slice. Without it (this
+container exposes one chip), `--virtual N` measures the view-sharded
+step on N virtual CPU devices — validating the collective structure and
+producing the harness output format; virtual-CPU timings are NOT chip
+throughput numbers.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--virtual", type=int, default=0,
+                   help="force N virtual CPU devices")
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--gaussians", type=int, default=50_000)
+    p.add_argument("--hw", type=int, default=256)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.virtual)
+
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.core.cameras import orbit_cameras
+    from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
+    from gaussianeditor_tpu.parallel.mesh import make_mesh
+    from gaussianeditor_tpu.parallel.sharded_step import make_sharded_train_step
+    from gaussianeditor_tpu.train.optim import GaussianAdam, OptimConfig
+    from gaussianeditor_tpu.train.trainer import (
+        LossWeights,
+        init_train_state,
+        stack_cameras,
+    )
+
+    n_dev = len(jax.devices())
+    n = args.gaussians
+    rng = np.random.RandomState(0)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
+        features_rest=jnp.asarray(np.zeros((n, 0, 3), np.float32)),
+        opacity_raw=jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
+        ),
+        quats=jnp.asarray(quats),
+    )
+    scene = GaussianScene.create(params, max_sh_degree=0, active_sh_degree=0)
+    cams = orbit_cameras(args.views, 4.0, 0.8, 0.8, args.hw, args.hw)
+    targets = jnp.asarray(
+        rng.rand(args.views, args.hw, args.hw, 3).astype(np.float32)
+    )
+    optim = GaussianAdam(config=OptimConfig())
+
+    results = {}
+    for nd in sorted({1, n_dev}):
+        mesh = make_mesh(nd)
+        step = make_sharded_train_step(optim, LossWeights(), mesh,
+                                       max_instances=262144)
+        state = init_train_state(scene, optim)
+        cam_batch = stack_cameras(cams)
+        state, _ = step(state, cam_batch, targets)  # compile
+        jax.block_until_ready(state.scene.params.xyz)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, _ = step(state, cam_batch, targets)
+        jax.block_until_ready(state.scene.params.xyz)
+        dt = (time.perf_counter() - t0) / args.iters
+        results[nd] = dt
+        print(f"devices={nd}: {dt * 1000:.1f} ms/step "
+              f"({args.views / dt:.1f} views/s)")
+
+    if len(results) == 2:
+        (d1, t1), (dn, tn) = sorted(results.items())
+        eff = (t1 / tn) / (dn / d1)
+        print(json.dumps({
+            "metric": f"scaling efficiency {d1}->{dn} devices",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "vs_baseline": round(eff / 0.8, 4),
+        }))
+
+
+if __name__ == "__main__":
+    main()
