@@ -54,34 +54,29 @@ def make_sharded_train_step(
     """
 
     def local_loss(scene, params, cam_treedef, cam_leaves, targets, offsets):
-        """Mean loss over this chip's local views + densify probes."""
+        """SUM loss over this chip's local views + densify probes
+        (divided by the global batch after psum). Views unrolled — see
+        train/trainer.py (lax.scan measured ~2x slower per view)."""
         C = scene.capacity
-
-        def per_view(carry, xs):
-            leaves, target, offset = xs
+        B_local = targets.shape[0]
+        radii_max = jnp.zeros((C,), jnp.int32)
+        vis_any = jnp.zeros((C,), bool)
+        loss_l1 = 0.0
+        loss_p = 0.0
+        s = scene.replace(params=params)
+        for b in range(B_local):
+            leaves = [x[b] for x in cam_leaves]
             cam = jax.tree_util.tree_unflatten(cam_treedef, leaves)
-            s = scene.replace(params=params)
             out = render(
-                s, cam, jnp.zeros(3), mean2d_offset_ndc=offset,
+                s, cam, jnp.zeros(3), mean2d_offset_ndc=offsets[b],
                 impl=impl, max_instances=max_instances,
                 tile_cap=tile_cap, chunk=chunk,
             )
-            l1 = l1_loss(out.color, target)
-            lp = perceptual(out.color, target) if perceptual is not None else 0.0
-            radii_max, vis_any = carry
-            return (
-                (jnp.maximum(radii_max, out.radii), vis_any | out.visible),
-                (l1, lp),
-            )
-
-        (radii_max, vis_any), (l1s, lps) = jax.lax.scan(
-            per_view,
-            (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), bool)),
-            (tuple(cam_leaves), targets, offsets),
-        )
-        # local SUM of per-view losses; divided by global batch after psum
-        loss_l1 = jnp.sum(l1s)
-        loss_p = jnp.sum(jnp.asarray(lps)) if perceptual is not None else 0.0
+            loss_l1 = loss_l1 + l1_loss(out.color, targets[b])
+            if perceptual is not None:
+                loss_p = loss_p + perceptual(out.color, targets[b])
+            radii_max = jnp.maximum(radii_max, out.radii)
+            vis_any = vis_any | out.visible
         return loss_l1, loss_p, radii_max, vis_any
 
     def step_fn(state: TrainState, cam_batch: Camera, targets: jnp.ndarray):
