@@ -11,9 +11,10 @@ Design:
     every one of the R instance *slots* looks up its source Gaussian via
     a vectorized searchsorted over the inclusive cumsum of
     `tiles_touched` — a gather, which XLA loves.
-  * The 64-bit [tile<<32 | depth-bits] radix key becomes a two-key
-    lexicographic `lax.sort` on (tile_id, depth) with the Gaussian id as
-    payload; padding slots carry tile_id == num_tiles so they sort last.
+  * The 64-bit [tile<<32 | depth-bits] radix key becomes a single fused
+    32-bit key (tile bits | truncated positive-float depth bits) sorted
+    stably with the Gaussian id as the only payload; padding slots carry
+    tile_id == num_tiles so they sort last.
   * Tile ranges come from two vectorized searchsorteds over the sorted
     tile ids (== identifyTileRanges).
 """
@@ -82,9 +83,9 @@ def bin_and_sort(
     depth_bits = 32 - tile_bits
     dkey = jax.lax.bitcast_convert_type(depth, jnp.uint32) >> (32 - depth_bits)
     key = (tile_id.astype(jnp.uint32) << depth_bits) | dkey
-    sorted_key, sorted_gid, sorted_tile = jax.lax.sort(
-        (key, g, tile_id), num_keys=1, is_stable=True
-    )
+    sorted_key, sorted_gid = jax.lax.sort((key, g), num_keys=1, is_stable=True)
+    # tile ids are the key's high bits — no need to carry them as payload
+    sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
