@@ -93,7 +93,9 @@ def _tri_strict_after():
 
 
 def _dot(a, b, dims):
-    # HIGHEST: full-f32 MXU passes (see module docstring).
+    # HIGHEST: full-f32 MXU passes. DEFAULT (single-pass bf16) visibly
+    # corrupts the transmittance prefix sums; Precision.HIGH (bf16x3)
+    # is not supported by the Mosaic kernel lowering.
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
