@@ -62,7 +62,12 @@ let th=0.6, ph=0.3, r=4.0, drag=null;
 const img=document.getElementById('frame');
 function refresh(){img.src=`/render?theta=${th}&phi=${ph}&radius=${r}&size=512`+
   `&overlay=${document.getElementById('overlay').checked?1:0}&t=${Date.now()}`;}
-img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault()};
+img.onmousedown=e=>{
+  if(e.altKey){const rc=img.getBoundingClientRect();
+    const sx=(e.clientX-rc.left)/rc.width*512, sy=(e.clientY-rc.top)/rc.height*512;
+    post('/click',{view:0,x:sx,y:sy,threshold:+document.getElementById('thres').value});
+    e.preventDefault();return;}
+  drag=[e.clientX,e.clientY];e.preventDefault()};
 window.onmouseup=()=>drag=null;
 window.onmousemove=e=>{if(!drag)return;th+=(e.clientX-drag[0])*0.01;
   ph=Math.max(-1.4,Math.min(1.4,ph+(e.clientY-drag[1])*0.01));drag=[e.clientX,e.clientY];refresh();};
