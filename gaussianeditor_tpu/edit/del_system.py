@@ -73,7 +73,7 @@ class DelSystem(EditSystem):
         config: DelConfig,
         inpainter: Inpainter,
         segmentor: Segmentor,
-        perceptual=None,
+        perceptual="auto",
     ):
         super().__init__(scene, cameras, config, guidance=None,
                          segmentor=segmentor, perceptual=perceptual)

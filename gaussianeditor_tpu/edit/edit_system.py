@@ -121,16 +121,30 @@ class EditSystem:
         config: EditConfig,
         guidance: Guidance,
         segmentor: Optional[Segmentor] = None,
-        perceptual: Optional[Callable] = None,
+        perceptual: object = "auto",
+        dds_guidance: Optional[object] = None,
     ):
         self.scene = scene
         self.cameras = list(cameras)
         self.cfg = config
         self.guidance = guidance
+        # Second (score-distillation) guidance slot — the reference Edit
+        # system's `second_guidance_type: "dds"` (GassuianEditorEdit.py:
+        # 15-28); used by fit() when cfg.loss.lambda_dds > 0.
+        self.dds_guidance = dds_guidance
         self.segmentor = segmentor
+        if perceptual == "auto":
+            # Perceptual term ON by default, like the reference's
+            # lambda_p = 10 L1+LPIPS objective (GassuianEditorEdit.py:
+            # 133-145): real LPIPS when converted weights exist, else the
+            # in-jit multiscale-gradient proxy.
+            from gaussianeditor_tpu.train.lpips_jax import make_perceptual
+
+            perceptual = make_perceptual()
+        self.perceptual = perceptual
         self.optim = make_optimizer(config)
         self.train_step = make_train_step(
-            self.optim, config.loss, perceptual=perceptual,
+            self.optim, config.loss, perceptual=self.perceptual,
             local_edit=config.local_edit,
             max_instances=config.max_instances,
             tile_cap=config.tile_cap, chunk=config.chunk,

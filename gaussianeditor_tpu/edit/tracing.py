@@ -44,16 +44,34 @@ def accumulate_view_weights(
     chunk: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the apply_weights accumulation over a set of views
-    (GassuianEditor.py:97-133). Returns (weights [C,1], counts [C])."""
+    (GassuianEditor.py:97-133). Returns (weights [C,1], counts [C]).
+
+    Views whose accumulation reports capacity overflow are re-run at
+    doubled tile_cap (overflow policy: no silent contributor loss)."""
+    import warnings
+
     C = scene.capacity
     weights = jnp.zeros((C, 1), jnp.float32)
     cnt = jnp.zeros((C,), jnp.int32)
     for cam, mask in zip(cameras, masks):
-        f = _jitted_apply_weights(cam.height, cam.width, tile_cap, chunk)
         m = jnp.asarray(mask, jnp.float32)
         if m.ndim == 2:
             m = m[..., None]
-        weights, cnt = f(scene, cam, m, weights, cnt)
+        cap = tile_cap
+        for attempt in range(4):
+            f = _jitted_apply_weights(cam.height, cam.width, cap, chunk)
+            w2, c2, over = f(scene, cam, m, weights, cnt)
+            if not bool(jax.device_get(over)) or attempt == 3:
+                if attempt == 3:
+                    warnings.warn("apply_weights overflow persisted after "
+                                  "retries; mask lifting may be incomplete")
+                weights, cnt = w2, c2
+                break
+            warnings.warn(
+                f"apply_weights tile overflow at tile_cap={cap}; retrying "
+                "at doubled capacity"
+            )
+            cap *= 2
     return weights, cnt
 
 

@@ -57,9 +57,13 @@ def apply_weights(
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One view's accumulation pass; call per view and normalize with
-    `weights / (weights_cnt + 1e-7)` (GassuianEditor.py:134-137)."""
+    `weights / (weights_cnt + 1e-7)` (GassuianEditor.py:134-137).
+
+    Returns (weights, counts, overflow): overflow is True when the
+    instance buffer or any tile's `tile_cap` truncated contributors —
+    callers re-run the view at doubled capacity (no silent splat loss)."""
     H, W = camera.height, camera.width
     ch = image_weights.shape[-1]
     Cap = scene.capacity
@@ -142,4 +146,8 @@ def apply_weights(
     (_, _, w_out, c_out), _ = jax.lax.scan(
         step, (T0, done0, weights, weights_cnt), jnp.arange(n_steps)
     )
-    return w_out, c_out
+    tile_len = jnp.minimum(binning.tile_end, max_instances) - jnp.minimum(
+        binning.tile_start, max_instances
+    )
+    overflow = binning.overflow | (jnp.max(tile_len) > tile_cap)
+    return w_out, c_out, overflow

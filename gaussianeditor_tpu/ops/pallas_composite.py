@@ -494,3 +494,114 @@ def make_pallas_compositor(n_tiles: int, grid_x: int, ch: int, r2: int,
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
+                                 capacity: int, max_instances: int):
+    """v4 compositor over the compact binning (ops/binning_dense.py).
+
+    Same Pallas kernels as `make_pallas_compositor`; what changes is the
+    host-graph plumbing around them:
+      * packing = ONE row gather into sorted order + ONE broadcast-indexed
+        row gather into the chunk-aligned layout (no jnp.repeat, no
+        R-sized 1-D random gathers);
+      * the backward per-Gaussian reduction = gradient rows gathered into
+        pre-sort rank order (ranks of one Gaussian are contiguous), then
+        a cumsum + analytic boundary-difference — deterministic, no XLA
+        scatter-add. Rows are mean-centered first so the prefix sum stays
+        a zero-drift random walk instead of accumulating column bias
+        (bounds the cancellation error of the difference).
+
+    composite(mean2d, conic, opacity, color, depth, db: DenseBinning)
+    -> PallasTiles. The five leading args receive gradients.
+    """
+    from gaussianeditor_tpu.ops.binning_dense import (
+        CHUNK as DCHUNK,
+        dense_capacities,
+    )
+
+    assert DCHUNK == CHUNK
+    CH1 = ch + 1
+    F = _pad8(7 + ch)
+    GF = _pad8(6 + CH1)
+    R, R2, NC = dense_capacities(max_instances, n_tiles)
+    fwd_call = make_forward(n_tiles, grid_x, ch, NC)
+    bwd_call = make_backward(n_tiles, grid_x, ch, NC)
+
+    def pack_instances(mean2d, conic, opacity, color, depth, db):
+        g = jnp.concatenate(
+            [mean2d, conic, opacity[:, None], depth[:, None], color],
+            axis=1,
+        )  # [C, 7+ch]
+        g = jnp.pad(g, ((0, 0), (0, F - g.shape[1])))
+        rows_sorted = g[db.sorted_g]                       # [R, F]
+        rows_sorted = jnp.pad(rows_sorted, ((0, 1), (0, 0)))  # zero dummy R
+        # aligned src map: chunk c's rows are sorted rows p0[c]..p0[c]+127,
+        # live while lane < n_valid[c] — a pure broadcast, no searches.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NC, CHUNK), 1)
+        src = db.chunk_p0[:, None] + lane
+        src = jnp.where(lane < db.chunk_nvalid[:, None], src, R)
+        inst = rows_sorted[src.reshape(-1)]                # [R2, F]
+        return inst.T                                      # [F, R2]
+
+    def run_forward(args):
+        mean2d, conic, opacity, color, depth, db = args
+        inst = pack_instances(mean2d, conic, opacity, color, depth, db)
+        (out,) = fwd_call(db.chunk_tile, db.chunk_first, db.chunk_nvalid,
+                          db.chunk_offset, inst)
+        empty = ~db.tile_nonempty[:, None]
+        acc = jnp.where(empty[..., None], 0.0, out[..., :CH1])
+        t_fin = jnp.where(empty, 1.0, out[..., CH1])
+        nc = jnp.where(empty, 0.0, out[..., CH1 + 1]).astype(jnp.int32)
+        return PallasTiles(
+            color=acc[..., :ch], depth=acc[..., ch],
+            final_T=t_fin, n_contrib=nc,
+        ), inst
+
+    @jax.custom_vjp
+    def composite(mean2d, conic, opacity, color, depth, db):
+        out, _ = run_forward((mean2d, conic, opacity, color, depth, db))
+        return out
+
+    def composite_fwd(mean2d, conic, opacity, color, depth, db):
+        out, inst = run_forward((mean2d, conic, opacity, color, depth, db))
+        acc = jnp.concatenate([out.color, out.depth[..., None]], axis=-1)
+        return out, (inst, db, acc, out.final_T, out.n_contrib)
+
+    def composite_bwd(res, g):
+        inst, db, acc, t_fin, nc = res
+        gall = jnp.concatenate(
+            [g.color, g.depth[..., None], acc, g.final_T[..., None],
+             t_fin[..., None], nc.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )  # [n_tiles, PX, 2*CH1+3]
+        max_nc = jnp.max(nc, axis=-1)
+        active = ((db.chunk_nvalid > 0)
+                  & (db.chunk_offset < max_nc[db.chunk_tile])).astype(jnp.int32)
+        (grows,) = bwd_call(
+            db.chunk_tile, db.chunk_first, db.chunk_nvalid, db.chunk_offset,
+            active, inst, gall,
+        )
+        # deterministic reduction: aligned rows -> pre-sort rank order
+        # (each Gaussian's ranks are the contiguous analytic range
+        # [B[g-1], B[g]) ), then cumsum + boundary difference. Dead
+        # chunks' rows are zeroed by the kernel, so ranks past
+        # num_rendered contribute nothing.
+        rows_al = grows.T                         # [R2, GF]
+        rows_rank = rows_al[db.a_by_rank]         # [R, GF]
+        colmean = jnp.mean(rows_rank, axis=0, keepdims=True)
+        S = jnp.cumsum(rows_rank - colmean, axis=0, dtype=jnp.float32)
+        S = jnp.concatenate([jnp.zeros((1, GF), jnp.float32), S], axis=0)
+        b_hi = jnp.minimum(db.b_incl, R)
+        b_lo = jnp.minimum(
+            jnp.concatenate([jnp.zeros((1,), db.b_incl.dtype),
+                             db.b_incl[:-1]]), R)
+        d = (S[b_hi] - S[b_lo]
+             + colmean * (b_hi - b_lo)[:, None].astype(jnp.float32))
+        ch_ = ch
+        return (d[:, 0:2], d[:, 2:5], d[:, 5], d[:, 6:6 + ch_],
+                d[:, 6 + ch_], None)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite

@@ -39,6 +39,8 @@ class RenderOutput(NamedTuple):
     visible: jnp.ndarray      # [C] bool (visibility_filter == radii > 0)
     num_rendered: jnp.ndarray  # scalar int32
     overflow: jnp.ndarray      # scalar bool
+    n_contrib: Optional[jnp.ndarray] = None  # [H, W] int32 last-contributor
+    # position per pixel (forward.cu:330,365); None on the 'ref' oracle
 
 
 def point_cloud_render(
@@ -105,7 +107,11 @@ def render(
 ) -> RenderOutput:
     """Differentiable render of a GaussianScene through `camera`.
 
-    impl: 'tiled' (production, scan+MXU compositor), 'ref' (dense oracle).
+    impl: 'pallas' (production TPU path, compact binning + chunk-grid
+    kernels), 'tiled' (scan+MXU compositor), 'ref' (dense oracle).
+    max_instances: total tile-instance budget (all impls); exceeding it
+    trips `overflow` and the host policy (`render_safe`) re-renders at
+    doubled budget — the XLA analog of CUDA's runtime buffer resize.
     """
     H, W = camera.height, camera.width
     if impl is None:
@@ -147,31 +153,33 @@ def render(
     grid_y = (H + TILE - 1) // TILE
     if max_instances is None:
         max_instances = default_max_instances(scene.capacity)
-    if impl == "pallas":  # aligned layout requires chunk-multiple capacity
-        from gaussianeditor_tpu.ops.pallas_composite import CHUNK as _PC
-
-        max_instances = -(-max_instances // _PC) * _PC
-
-    binning = bin_and_sort(proc, grid_x, grid_y, max_instances)
     if impl == "pallas":
-        from gaussianeditor_tpu.ops.binning import align_ranges
+        from gaussianeditor_tpu.ops.binning_dense import dense_bin
         from gaussianeditor_tpu.ops.pallas_composite import (
-            CHUNK,
-            make_pallas_compositor,
+            make_pallas_compositor_dense,
         )
 
         num_tiles = grid_x * grid_y
-        ab = align_ranges(binning, num_tiles, CHUNK)
-        r2 = max_instances + CHUNK * num_tiles
+        db = dense_bin(proc, grid_x, grid_y, max_instances)
         ch = proc.color.shape[-1]
-        compositor = make_pallas_compositor(
-            num_tiles, grid_x, ch, r2, scene.capacity
+        compositor = make_pallas_compositor_dense(
+            num_tiles, grid_x, ch, scene.capacity, max_instances
         )
         tiles = compositor(
-            proc.mean2d, proc.conic, proc.opacity, proc.color, proc.depth,
-            ab.gauss_id, ab.valid, ab.tile_start, ab.tile_len,
+            proc.mean2d, proc.conic, proc.opacity, proc.color, proc.depth, db
         )
+        num_rendered = db.num_rendered
+        overflow = db.overflow
     else:
+        binning = bin_and_sort(proc, grid_x, grid_y, max_instances)
+        num_rendered = binning.num_rendered
+        # the scan compositor truncates each tile at tile_cap instances
+        # (CUDA has no such cap — rasterizer_impl.cu:236-244 resizes);
+        # detect it so the caller's overflow policy can re-render
+        tile_len = jnp.minimum(binning.tile_end, max_instances) - jnp.minimum(
+            binning.tile_start, max_instances
+        )
+        overflow = binning.overflow | (jnp.max(tile_len) > tile_cap)
         tiles = composite_tiles(
             proc, binning, grid_x, grid_y, tile_cap=tile_cap, chunk=chunk
         )
@@ -179,6 +187,7 @@ def render(
     color = tiles_to_image(tiles.color, grid_x, grid_y, H, W)
     depth = tiles_to_image(tiles.depth, grid_x, grid_y, H, W)
     final_T = tiles_to_image(tiles.final_T, grid_x, grid_y, H, W)
+    n_contrib = tiles_to_image(tiles.n_contrib, grid_x, grid_y, H, W)
     color = color + final_T[..., None] * bg[None, None, :]
 
     return RenderOutput(
@@ -188,6 +197,40 @@ def render(
         final_T=final_T,
         radii=proc.radius,
         visible=proc.visible,
-        num_rendered=binning.num_rendered,
-        overflow=binning.overflow,
+        num_rendered=num_rendered,
+        overflow=overflow,
+        n_contrib=n_contrib,
     )
+
+
+def render_safe(scene, camera: Camera, bg=None, *, max_retries: int = 3,
+                max_instances: Optional[int] = None, tile_cap: int = 1024,
+                **kwargs) -> RenderOutput:
+    """Host-side overflow policy around `render` (SURVEY hard-part #1):
+    if a render reports instance-buffer or per-tile-capacity overflow,
+    re-render with doubled capacities (the XLA analog of CUDA's runtime
+    buffer resize, rasterizer_impl.cu:236-244). NOT jittable — use inside
+    host loops (origin-render caching, tracing, eval); the jitted train
+    step instead surfaces `overflow` in its metrics."""
+    import warnings
+
+    import jax
+
+    if max_instances is None:
+        max_instances = default_max_instances(scene.capacity)
+    for attempt in range(max_retries + 1):
+        out = render(scene, camera, bg, max_instances=max_instances,
+                     tile_cap=tile_cap, **kwargs)
+        if not bool(jax.device_get(out.overflow)):
+            return out
+        if attempt < max_retries:
+            warnings.warn(
+                f"render overflow (num_rendered={int(out.num_rendered)}, "
+                f"max_instances={max_instances}, tile_cap={tile_cap}); "
+                "retrying at doubled capacity"
+            )
+            max_instances *= 2
+            tile_cap *= 2
+    warnings.warn("render overflow persisted after retries; output may "
+                  "drop contributors")
+    return out

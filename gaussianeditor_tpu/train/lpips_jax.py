@@ -1,0 +1,181 @@
+"""LPIPS perceptual distance in pure JAX (jittable, TPU-native).
+
+Reference: `threestudio/utils/perceptual/perceptual.py:12-60` — LPIPS =
+VGG16 feature stack (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3),
+channel-unit-normalized feature differences squared, 1x1 learned linear
+heads, spatial mean, summed over the five stages. The reference
+downloads the torchvision VGG16 weights + the LPIPS linear heads at
+runtime; here the weights live in a single local `.npz` so the whole
+loss stays inside the jitted TPU train step (the reference pays a
+host-side torch round trip instead).
+
+Weight file layout (see `save_weights` / `convert_torch_vgg16`):
+    conv{i}_w  [kh, kw, cin, cout]   i in 0..12   (HWIO)
+    conv{i}_b  [cout]
+    lin{j}_w   [c_j]                 j in 0..4    (nonneg 1x1 head)
+
+When no weight file exists, `random_weights` builds a structurally
+identical random net — used by the parity tests (vs a plain-torch
+VGG16 evaluated with the SAME weights) and still a meaningful
+perceptual metric for smoke tests; production deployments convert the
+official checkpoints once with `convert_torch_vgg16`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 `features` conv plan: (out_channels, pool_before) per conv layer,
+# mirroring torchvision vgg16 cfg "D" = 64,64,M,128,128,M,256,256,256,M,
+# 512,512,512,M,512,512,512.
+_VGG_PLAN = [
+    (64, False), (64, False),
+    (128, True), (128, False),
+    (256, True), (256, False), (256, False),
+    (512, True), (512, False), (512, False),
+    (512, True), (512, False), (512, False),
+]
+# conv indices after which LPIPS taps features: relu1_2, relu2_2, relu3_3,
+# relu4_3, relu5_3 (perceptual/utils.py vgg16 slices).
+_TAPS = [1, 3, 6, 9, 12]
+_STAGE_CH = [64, 128, 256, 512, 512]
+
+# ImageNet normalization used by LPIPS's scaling layer (perceptual.py:
+# shift/scale constants).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+DEFAULT_WEIGHTS_ENV = "GSEDIT_LPIPS_WEIGHTS"
+
+
+def random_weights(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random He-initialized VGG16 + nonneg linear heads (test/fallback)."""
+    rng = np.random.RandomState(seed)
+    w: Dict[str, np.ndarray] = {}
+    cin = 3
+    for i, (cout, _) in enumerate(_VGG_PLAN):
+        fan_in = 3 * 3 * cin
+        w[f"conv{i}_w"] = (
+            rng.randn(3, 3, cin, cout) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
+        w[f"conv{i}_b"] = np.zeros((cout,), np.float32)
+        cin = cout
+    for j, c in enumerate(_STAGE_CH):
+        w[f"lin{j}_w"] = rng.rand(c).astype(np.float32) / c
+    return w
+
+
+def save_weights(path: str, weights: Dict[str, np.ndarray]) -> None:
+    np.savez(path, **weights)
+
+
+def load_weights(path: str) -> Dict[str, jnp.ndarray]:
+    data = np.load(path)
+    return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def find_weights(path: Optional[str] = None) -> Optional[Dict[str, jnp.ndarray]]:
+    """Resolve LPIPS weights: explicit path > $GSEDIT_LPIPS_WEIGHTS >
+    ~/.cache/gsedit/lpips_vgg16.npz. None if absent."""
+    candidates = [
+        path,
+        os.environ.get(DEFAULT_WEIGHTS_ENV),
+        os.path.expanduser("~/.cache/gsedit/lpips_vgg16.npz"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return load_weights(c)
+    return None
+
+
+def convert_torch_vgg16(vgg_features, lin_heads=None) -> Dict[str, np.ndarray]:
+    """Convert a torch `vgg16().features` module (+ optional list of five
+    LPIPS 1x1 linear-head weight tensors [1, C, 1, 1]) to the npz layout.
+    Runs wherever torch(vision) and the checkpoints exist."""
+    out: Dict[str, np.ndarray] = {}
+    i = 0
+    for layer in vgg_features:
+        if layer.__class__.__name__ == "Conv2d":
+            # torch OIHW -> HWIO
+            out[f"conv{i}_w"] = (
+                layer.weight.detach().cpu().numpy().transpose(2, 3, 1, 0)
+            )
+            out[f"conv{i}_b"] = layer.bias.detach().cpu().numpy()
+            i += 1
+    assert i == 13, f"expected 13 convs, got {i}"
+    for j, c in enumerate(_STAGE_CH):
+        if lin_heads is not None:
+            out[f"lin{j}_w"] = (
+                np.asarray(lin_heads[j]).reshape(-1).astype(np.float32)
+            )
+        else:
+            out[f"lin{j}_w"] = np.full((c,), 1.0 / c, np.float32)
+    return out
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # x: [B, H, W, C]; w: HWIO
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def _pool(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def vgg16_features(weights, x: jnp.ndarray):
+    """x [B, H, W, 3] in [0, 1] -> list of five tap activations."""
+    # LPIPS scaling layer: (2x-1 - shift) / scale
+    x = (2.0 * x - 1.0 - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+    taps = []
+    for i, (_, pool_before) in enumerate(_VGG_PLAN):
+        if pool_before:
+            x = _pool(x)
+        x = jax.nn.relu(_conv(x, weights[f"conv{i}_w"], weights[f"conv{i}_b"]))
+        if i in _TAPS:
+            taps.append(x)
+    return taps
+
+
+def lpips(weights, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """LPIPS distance between [H, W, 3] (or [B, H, W, 3]) images in [0, 1].
+
+    perceptual.py:39-60: per stage, unit-normalize channels, squared
+    difference, 1x1 nonneg linear head, spatial mean; sum stages.
+    """
+    if pred.ndim == 3:
+        pred, target = pred[None], target[None]
+    fa = vgg16_features(weights, pred)
+    fb = vgg16_features(weights, target)
+    total = jnp.zeros((), jnp.float32)
+    for j, (a, b) in enumerate(zip(fa, fb)):
+        na = a * jax.lax.rsqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
+        nb = b * jax.lax.rsqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+        d = (na - nb) ** 2
+        head = jnp.maximum(weights[f"lin{j}_w"], 0.0)  # nonneg like LPIPS
+        total = total + jnp.mean(jnp.sum(d * head, axis=-1))
+    return total
+
+
+def make_perceptual(weights_path: Optional[str] = None):
+    """Return a jit-traceable perceptual callable for the train step:
+    real LPIPS when weights exist, else the multiscale-gradient proxy
+    (train/perceptual.py). Always returns a callable — the perceptual
+    term is ON by default, like the reference's lambda_p = 10
+    (GassuianEditorEdit.py:133-145)."""
+    w = find_weights(weights_path)
+    if w is not None:
+        return lambda pred, target: lpips(w, pred, target)
+    from gaussianeditor_tpu.train.perceptual import multiscale_gradient_loss
+
+    return multiscale_gradient_loss

@@ -56,11 +56,14 @@ class TestPallasForward:
         cam = make_camera(48, 48)
         out_p = _jit_render("pallas", 8192)(scene, cam)
         out_s = _jit_render("tiled", 8192)(scene, cam)
-        # n_contrib is a position — must agree exactly wherever the
-        # alpha-cutoff flips don't bite; allow tiny disagreement count
-        a = np.asarray(out_p.num_rendered)
-        b = np.asarray(out_s.num_rendered)
-        assert a == b
+        assert int(out_p.num_rendered) == int(out_s.num_rendered)
+        # per-pixel last-contributor positions (consumed by the backward
+        # gating, backward.cu:441-447) must agree EXACTLY: both paths walk
+        # the same depth-sorted per-tile order
+        a = np.asarray(out_p.n_contrib)
+        b = np.asarray(out_s.n_contrib)
+        np.testing.assert_array_equal(a, b)
+        assert a.max() > 0  # scene actually composites something
 
 
 class TestPallasBackward:
