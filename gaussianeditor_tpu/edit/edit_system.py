@@ -119,19 +119,31 @@ class EditSystem:
         scene: GaussianScene,
         cameras: Sequence[Camera],
         config: EditConfig,
-        guidance: Guidance,
+        guidance: Optional[Guidance],
         segmentor: Optional[Segmentor] = None,
         perceptual: object = "auto",
+        sds_guidance: Optional[object] = None,
         dds_guidance: Optional[object] = None,
+        dds_prompts: Optional[tuple] = None,
     ):
         self.scene = scene
         self.cameras = list(cameras)
         self.cfg = config
+        # Primary guidance produces edited TARGET images (iterative
+        # dataset update). May be None when training on score
+        # distillation only (the reference constructs it only when
+        # lambda_l1 > 0 or lambda_p > 0, GassuianEditorEdit.py:58-59).
         self.guidance = guidance
-        # Second (score-distillation) guidance slot — the reference Edit
-        # system's `second_guidance_type: "dds"` (GassuianEditorEdit.py:
-        # 15-28); used by fit() when cfg.loss.lambda_dds > 0.
+        # Score-distillation slots (guidance/score.py): `sds_guidance`
+        # is the primary guidance's use_sds mode
+        # (instructpix2pix_guidance.py:285-297), weighted by
+        # cfg.loss.lambda_sds; `dds_guidance` is the second-guidance
+        # slot (`second_guidance_type: "dds"`, GassuianEditorEdit.py:
+        # 15-28, 113-131), weighted by cfg.loss.lambda_dds, with
+        # (target_prompt, source_prompt) from `dds_prompts`.
+        self.sds_guidance = sds_guidance
         self.dds_guidance = dds_guidance
+        self.dds_prompts = dds_prompts or (config.prompt, "")
         self.segmentor = segmentor
         if perceptual == "auto":
             # Perceptual term ON by default, like the reference's
@@ -143,9 +155,13 @@ class EditSystem:
             perceptual = make_perceptual()
         self.perceptual = perceptual
         self.optim = make_optimizer(config)
+        self._with_inject = (
+            sds_guidance is not None or dds_guidance is not None
+        )
         self.train_step = make_train_step(
             self.optim, config.loss, perceptual=self.perceptual,
             local_edit=config.local_edit,
+            with_inject=self._with_inject,
             max_instances=config.max_instances,
             tile_cap=config.tile_cap, chunk=config.chunk,
         )
@@ -211,6 +227,12 @@ class EditSystem:
     # --- per-step target refresh (GassuianEditorEdit.py:76-99) ---
 
     def _refresh_targets(self, view_ids: List[int], step: int) -> None:
+        if self.guidance is None:
+            # score-distillation-only training: targets fall back to the
+            # origin renders (weighted by lambda_l1/lambda_p, typically 0)
+            for vid in view_ids:
+                self.edit_frames.setdefault(vid, self.origin_frames[vid])
+            return
         for vid in view_ids:
             stale = (
                 vid not in self.edit_frames
@@ -227,6 +249,34 @@ class EditSystem:
                     current, self.origin_frames[vid], self.cfg.prompt
                 )
                 self.edit_frames[vid] = np.asarray(out.edit_image, np.float32)
+
+    def _score_inject(self, view_ids: List[int], step: int) -> jnp.ndarray:
+        """Host-side SDS/DDS image gradients for the batch, weighted by
+        their C()-scheduled lambdas (GassuianEditorEdit.py:113-131)."""
+        from gaussianeditor_tpu.config.config import C
+
+        renders = np.stack([
+            np.asarray(self._render_cache(self.state.scene, self.cameras[v]))
+            for v in view_ids
+        ])
+        origins = np.stack([self.origin_frames[v] for v in view_ids])
+        g = np.zeros_like(renders)
+        if self.sds_guidance is not None:
+            lam = C(self.cfg.loss.lambda_sds, step)
+            if lam > 0:
+                gi, _ = self.sds_guidance(
+                    renders, origins, self.cfg.prompt, step=step,
+                )
+                g = g + lam * np.asarray(gi, np.float32)
+        if self.dds_guidance is not None:
+            lam = C(self.cfg.loss.lambda_dds, step)
+            if lam > 0:
+                tgt, src = self.dds_prompts
+                gi, _ = self.dds_guidance(
+                    renders, origins, tgt, src, step=step,
+                )
+                g = g + lam * np.asarray(gi, np.float32)
+        return jnp.asarray(g)
 
     # --- training ---
 
@@ -255,9 +305,15 @@ class EditSystem:
                               "lambda_anchor_opacity")
                 }
             )
-            self.state, metrics = self.train_step(
-                self.state, cam_batch, targets, weights_t
-            )
+            if self._with_inject:
+                inject = self._score_inject(view_ids, step)
+                self.state, metrics = self.train_step(
+                    self.state, cam_batch, targets, weights_t, inject
+                )
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, cam_batch, targets, weights_t
+                )
             if (
                 step < self.cfg.densify_until_step
                 and step > 0

@@ -131,6 +131,69 @@ class InstructPix2PixGuidance:
                .float().cpu().numpy())
         return GuidanceOutput(edit_image=out)
 
+    def sds_image_grad(self, rgb, cond_rgb, prompt: str, step: int = 0,
+                       grad_clip: Optional[float] = None):
+        """SDS gradient w.r.t. the input image — the reference's use_sds
+        branch (instructpix2pix_guidance.py:209-297): one UNet pass at a
+        random t, 3-way CFG, grad = (1-alpha_bar_t)*(noise_pred - noise),
+        backpropagated through the VAE encoder so the result plugs into
+        the jitted train step's `inject_grad` input (same math as
+        loss_sds = 0.5*mse(latents, stopgrad(latents-grad))).
+
+        Returns (g_image [H, W, 3] float32 numpy, info dict)."""
+        torch = self.torch
+        sched = self.pipe.scheduler
+        num_train = sched.config.num_train_timesteps
+        min_t = int(num_train * self.min_step_percent)
+        max_t = int(num_train * self.max_step_percent)
+        t = torch.randint(min_t, max_t + 1, (1,), device=self.device)
+
+        img_t = (
+            torch.from_numpy(np.asarray(rgb, np.float32))
+            .permute(2, 0, 1)[None].to(self.device)
+            .requires_grad_(True)
+        )
+        cond_t = (
+            torch.from_numpy(np.asarray(cond_rgb, np.float32))
+            .permute(2, 0, 1)[None].to(self.device, self.pipe.vae.dtype)
+        )
+        latents = self.pipe.vae.encode(
+            (img_t * 2 - 1).to(self.pipe.vae.dtype)
+        ).latent_dist.sample() * self.pipe.vae.config.scaling_factor
+        with torch.no_grad():
+            cond_latents = self.pipe.vae.encode(
+                cond_t * 2 - 1
+            ).latent_dist.mode()
+            text_emb = self.pipe._encode_prompt(
+                prompt, self.device, 1, True, ""
+            )
+            noise = torch.randn_like(latents)
+            noisy = sched.add_noise(latents.detach(), noise, t)
+            latent_in = torch.cat([noisy] * 3)
+            latent_in = torch.cat(
+                [latent_in, torch.cat([cond_latents, cond_latents,
+                                       torch.zeros_like(cond_latents)])],
+                dim=1,
+            )
+            noise_pred = self.pipe.unet(
+                latent_in, t, encoder_hidden_states=text_emb
+            ).sample
+            n_text, n_img, n_unc = noise_pred.chunk(3)
+            noise_pred = (
+                n_unc
+                + self.guidance_scale * (n_text - n_img)
+                + self.image_guidance_scale * (n_img - n_unc)
+            )
+            alphas = sched.alphas_cumprod.to(self.device)
+            w = (1 - alphas[t]).view(-1, 1, 1, 1)
+            grad = torch.nan_to_num(w * (noise_pred - noise))
+            if grad_clip is not None:
+                grad = grad.clamp(-grad_clip, grad_clip)
+        latents.backward(gradient=grad.to(latents.dtype))
+        g = img_t.grad[0].permute(1, 2, 0).float().cpu().numpy()
+        return g, {"grad_norm": float(grad.norm()),
+                   "min_step": min_t, "max_step": max_t}
+
 
 class ControlNetGuidance:
     """ControlNet editing (controlnet_guidance.py:20-311); control_type in
@@ -169,11 +232,20 @@ class ControlNetGuidance:
         self.diffusion_steps = diffusion_steps
         self.device = device
 
-    def __call__(self, rgb, cond_rgb, prompt: str) -> GuidanceOutput:
+    def __call__(self, rgb, cond_rgb, prompt: str,
+                 depth=None) -> GuidanceOutput:
         import PIL.Image
 
+        from gaussianeditor_tpu.guidance.image_cond import prepare_image_cond
+
+        # per-control-type conditioning image (canny edge map, normal
+        # map, or RGB pass-through — controlnet_guidance.py:281-311)
+        cond = prepare_image_cond(
+            self.control_type, cond_rgb, depth=depth,
+            normal_detector=getattr(self, "normal_detector", None),
+        )
         img = PIL.Image.fromarray(
-            (np.clip(np.asarray(cond_rgb), 0, 1) * 255).astype(np.uint8)
+            (np.clip(cond, 0, 1) * 255).astype(np.uint8)
         )
         out = self.pipe(
             prompt, image=img, num_inference_steps=self.diffusion_steps,

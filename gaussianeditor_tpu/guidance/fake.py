@@ -79,6 +79,43 @@ class FakePointSegmentor:
         return (d < self.radius).astype(np.float32)
 
 
+class FakeLatentModel:
+    """Deterministic JAX `LatentModel` for the SDS/DDS score paths
+    (guidance/score.py): encode = 8x8 average-pool through a fixed
+    3->4-channel projection (differentiable, so jax.vjp gives the
+    encoder backward exactly like torch autodiff through the VAE);
+    unet = smooth deterministic function of (latents, t, prompt-hash).
+    The unet's prompt dependence makes CFG combinations non-degenerate:
+    different prompts yield different predicted noise."""
+
+    latent_channels = 4
+    down = 8
+
+    def __init__(self, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.randn(3, self.latent_channels).astype(np.float32)
+
+    def encode(self, images):
+        import jax.numpy as jnp
+
+        B, H, W, _ = images.shape
+        d = self.down
+        x = images.reshape(B, H // d, d, W // d, d, 3).mean(axis=(2, 4))
+        return x @ jnp.asarray(self.proj)
+
+    def unet(self, latents_noisy, t, prompt: str, cond_latents=None):
+        import jax.numpy as jnp
+
+        h = hashlib.sha256(prompt.encode()).digest()
+        a = 0.5 + h[0] / 255.0
+        b = h[1] / 255.0 - 0.5
+        tt = jnp.asarray(t, jnp.float32).reshape(-1, 1, 1, 1) / 1000.0
+        out = a * jnp.tanh(latents_noisy) + b * tt
+        if cond_latents is not None:
+            out = out + 0.1 * jnp.tanh(cond_latents)
+        return out
+
+
 class FakeInpainter:
     """Fills the masked region with the mean color of the unmasked region
     (a deterministic 'plausible fill')."""

@@ -76,3 +76,87 @@ class PromptProcessor:
 
     def for_cameras(self, cameras: Sequence[Camera], center=None) -> List[str]:
         return [self.for_camera(c, center) for c in cameras]
+
+
+# --- Perp-Neg view-dependent negative prompting -------------------------
+# Reference: prompt_processors/base.py:80-165 (get_text_embeddings_perp_neg)
+# with the canonical decay tuples (:198-205) and utils/ops.py:423-442
+# (shifted_expotional_decay / perpendicular_component). The reference
+# works directly on CLIP embeddings; this port splits the math into (a)
+# the embedding-free blend/weight computation per view (testable here)
+# and (b) `perp_neg_combine` applying the weighted perpendicular
+# components to any embedding/noise arrays.
+
+# a * exp(-b * r) + c, constants chosen so the weight hits 0 at r = 1
+PERP_NEG_F_SB = (1.0, 0.5, -0.606)
+PERP_NEG_F_FSB = (1.0, 0.5, +0.967)
+PERP_NEG_F_FS = (4.0, 0.5, -2.426)
+PERP_NEG_F_SF = (4.0, 0.5, -2.426)
+
+_DIR_IDX = {"side": 0, "front": 1, "back": 2, "overhead": 3}
+
+
+def shifted_exponential_decay(a: float, b: float, c: float, r: float) -> float:
+    return a * math.exp(-b * r) + c
+
+
+@dataclasses.dataclass
+class PerpNegViewPrompt:
+    """Embedding-free description of one view's Perp-Neg prompt set:
+    pos = sum(coeff * dir_embedding[idx]); negatives are (dir_idx,
+    guidance_weight) pairs (weights <= 0, as in the reference)."""
+
+    pos_blend: List  # [(dir_idx, coeff)]
+    negatives: List  # [(dir_idx, weight)]
+
+
+def perp_neg_view_prompt(azimuth_deg: float, elevation_deg: float,
+                         cfg: Optional[DirectionConfig] = None
+                         ) -> PerpNegViewPrompt:
+    """base.py:104-152: overhead is pure; |azimuth| < 90 interpolates
+    front<->side with [front, side] negatives; otherwise side<->back with
+    [side, front] negatives."""
+    d = view_direction(azimuth_deg, elevation_deg, cfg)
+    if d == "overhead":
+        return PerpNegViewPrompt(pos_blend=[(3, 1.0)], negatives=[])
+    azi = ((azimuth_deg + 180.0) % 360.0) - 180.0
+    if abs(azi) < 90.0:
+        r = 1.0 - abs(azi) / 90.0  # 1 = full front, 0 = full side
+        return PerpNegViewPrompt(
+            pos_blend=[(1, r), (0, 1.0 - r)],
+            negatives=[
+                (1, -shifted_exponential_decay(*PERP_NEG_F_FS, r)),
+                (0, -shifted_exponential_decay(*PERP_NEG_F_SF, 1.0 - r)),
+            ],
+        )
+    r = 2.0 - abs(azi) / 90.0  # 1 = full side, 0 = full back
+    return PerpNegViewPrompt(
+        pos_blend=[(0, r), (2, 1.0 - r)],
+        negatives=[
+            (0, -shifted_exponential_decay(*PERP_NEG_F_SB, r)),
+            (1, -shifted_exponential_decay(*PERP_NEG_F_FSB, r)),
+        ],
+    )
+
+
+def perpendicular_component(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Component of x perpendicular to y (utils/ops.py:431-442)."""
+    num = float(np.sum(x * y))
+    den = max(float(np.sum(y * y)), 1e-6)
+    return x - (num / den) * y
+
+
+def perp_neg_combine(e_pos: np.ndarray, e_uncond: np.ndarray,
+                     negatives) -> np.ndarray:
+    """Perp-Neg noise combination (Armandpour et al.; the consumption
+    side of get_text_embeddings_perp_neg): delta = (pos - uncond) +
+    sum_i w_i * perp(neg_i - uncond, pos - uncond). Operates on any
+    same-shape arrays (noise predictions or embeddings); the caller
+    applies its guidance scale to the returned delta."""
+    d_pos = e_pos - e_uncond
+    accum = np.array(d_pos, np.float32)
+    for e_neg, w in negatives:
+        accum = accum + float(w) * perpendicular_component(
+            np.asarray(e_neg) - e_uncond, d_pos
+        )
+    return accum

@@ -115,10 +115,31 @@ def dense_bin(
     gsrc = jnp.maximum(jax.lax.cummax(mark), 0)
 
     # --- rank->tile: elementwise y-major rect walk ---
+    # All per-Gaussian fields ride ONE [C, 8] row gather: gsrc is
+    # monotone non-decreasing, so the access is near-contiguous and the
+    # table is tiny (C*32 B) — measured ~10x cheaper than five separate
+    # R-sized 1-D random gathers (bench/prof_prims.py).
+    depth = jax.lax.stop_gradient(proc.depth.astype(jnp.float32))
+    dkey32 = (jax.lax.bitcast_convert_type(depth, jnp.uint32)
+              >> (32 - depth_bits)).astype(jnp.int32)
+    table = jnp.stack(
+        [
+            b_prev,
+            tt,
+            proc.rect_min[:, 0],
+            proc.rect_min[:, 1],
+            jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0], 1),
+            dkey32,
+        ],
+        axis=1,
+    )  # [C, 6] int32
+    rows = table[gsrc]  # [R, 6]
+    g_bprev, g_tt = rows[:, 0], rows[:, 1]
+    g_rx, g_ry, rect_w, g_dkey = rows[:, 2], rows[:, 3], rows[:, 4], rows[:, 5]
+
     q = jnp.arange(R, dtype=jnp.int32)
-    j = q - b_prev[gsrc]
-    live = (q < total) & (j >= 0) & (j < tt[gsrc])
-    rect_w = jnp.maximum(proc.rect_max[gsrc, 0] - proc.rect_min[gsrc, 0], 1)
+    j = q - g_bprev
+    live = (q < total) & (j >= 0) & (j < g_tt)
     # Variable-divisor int div is slow on the VPU; j < num_tiles <= 2^20
     # and the true quotient is never within 0.5/(j+0.5) >= 4e-7 of an
     # integer at j<2^20, far above f32 eps, so floor((j+0.5)/w) is exact.
@@ -126,12 +147,10 @@ def dense_bin(
         (j.astype(jnp.float32) + 0.5) * (1.0 / rect_w.astype(jnp.float32))
     ).astype(jnp.int32)
     jx = j - jy * rect_w
-    tile = ((proc.rect_min[gsrc, 1] + jy) * grid_x
-            + (proc.rect_min[gsrc, 0] + jx))
+    tile = (g_ry + jy) * grid_x + (g_rx + jx)
 
-    depth = jax.lax.stop_gradient(proc.depth.astype(jnp.float32))
-    dkey = jax.lax.bitcast_convert_type(depth, jnp.uint32) >> (32 - depth_bits)
-    key = (tile.astype(jnp.uint32) << depth_bits) | dkey[gsrc]
+    key = ((tile.astype(jnp.uint32) << depth_bits)
+           | g_dkey.astype(jnp.uint32))
     key = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
 
     skey, sg, srank = jax.lax.sort(

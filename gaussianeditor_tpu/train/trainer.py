@@ -52,6 +52,11 @@ class LossWeights:
     lambda_anchor_geo: float = 50.0
     lambda_anchor_scale: float = 50.0
     lambda_anchor_opacity: float = 50.0
+    # score-distillation weights (SDS on the primary guidance /
+    # DDS second guidance, GassuianEditorEdit.py:113-131); nonzero values
+    # enable the `inject_grad` path of the train step
+    lambda_sds: float = 0.0
+    lambda_dds: float = 0.0
 
 
 @struct.dataclass
@@ -85,6 +90,7 @@ def make_train_step(
     perceptual: Optional[Callable] = None,
     impl: Optional[str] = None,
     local_edit: bool = False,
+    with_inject: bool = False,
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
@@ -93,9 +99,16 @@ def make_train_step(
 
     perceptual: optional JAX-traceable (pred [H,W,3], target [H,W,3]) ->
     scalar standing in for LPIPS (utils/perceptual in the reference).
+    with_inject: accept an extra `inject_grad` [B, H, W, 3] input — a
+    host-computed score-distillation image gradient (SDS/DDS,
+    guidance/score.py), already weighted by its lambda; the step adds
+    sum(render * stopgrad(inject_grad)) so backprop routes the score
+    gradient into the Gaussian parameters (the JAX analog of the
+    reference's `loss_sds = 0.5*mse(latents, target)` trick,
+    instructpix2pix_guidance.py:285-297).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=())
     def train_step(
         state: TrainState,
         cam_batch: Camera,        # stacked pytree, leaves [B, ...]
@@ -104,6 +117,7 @@ def make_train_step(
         # weights as a dynamic arg: the reference evaluates C()-scheduled
         # lambdas per step (GassuianEditorEdit.py:100-148); passing them as
         # traced scalars avoids recompiling on schedule changes
+        inject_grad: Optional[jnp.ndarray] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         scene = state.scene
         C = scene.capacity
@@ -122,7 +136,7 @@ def make_train_step(
             # small and static (reference default 2)
             radii_max = jnp.zeros((C,), jnp.int32)
             vis_any = jnp.zeros((C,), bool)
-            l1s, lps = [], []
+            l1s, lps, injs = [], [], []
             for b in range(B):
                 cam = jax.tree_util.tree_map(lambda x: x[b], cam_batch)
                 out = render(
@@ -134,12 +148,18 @@ def make_train_step(
                 l1s.append(l1_loss(out.color, targets[b]))
                 lps.append(perceptual(out.color, targets[b])
                            if perceptual is not None else 0.0)
+                if with_inject:
+                    injs.append(jnp.sum(
+                        out.color * jax.lax.stop_gradient(inject_grad[b])
+                    ))
                 radii_max = jnp.maximum(radii_max, out.radii)
                 vis_any = vis_any | out.visible
 
             loss_l1 = jnp.mean(jnp.stack(l1s))
             loss_p = (jnp.mean(jnp.stack(lps))
                       if perceptual is not None else 0.0)
+            loss_inject = (jnp.sum(jnp.stack(injs)) if with_inject
+                           else jnp.asarray(0.0))
 
             anchors = anchor_loss(s)
             total = (
@@ -149,11 +169,13 @@ def make_train_step(
                 + weights.lambda_anchor_geo * anchors["loss_anchor_geo"]
                 + weights.lambda_anchor_scale * anchors["loss_anchor_scale"]
                 + weights.lambda_anchor_opacity * anchors["loss_anchor_opacity"]
+                + loss_inject
             )
             metrics = {
                 "loss": total,
                 "loss_l1": loss_l1,
                 "loss_p": jnp.asarray(loss_p),
+                "loss_inject": loss_inject,
                 **anchors,
             }
             return total, (metrics, radii_max, vis_any)
