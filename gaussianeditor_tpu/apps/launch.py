@@ -107,6 +107,8 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--train", action="store_true")
+    parser.add_argument("--validate", action="store_true",
+                        help="save validation image grids + metrics JSON")
     parser.add_argument("--test", action="store_true",
                         help="render a turntable video of the result")
     parser.add_argument("--export", action="store_true",
@@ -167,22 +169,35 @@ def main(argv=None) -> None:
         )
     elif mode == "add":
         from gaussianeditor_tpu.edit.add_system import AddConfig, AddSystem
-        from gaussianeditor_tpu.guidance.fake import FakeSegmentor
+        from gaussianeditor_tpu.guidance.fake import FakeObjectGenerator
 
-        def _fake_generator(image, prompt):
-            # Without Wonder3D weights, generate a colored blob object;
-            # real deployments plug a Wonder3D adapter here.
-            rng = np.random.RandomState(0)
-            pts = rng.normal(0, 0.3, (2000, 3)).astype(np.float32)
-            color = np.asarray(image, np.float32).reshape(-1, 3).mean(0)
-            return GaussianScene.from_points(
-                pts, np.tile(color, (2000, 1)), max_sh_degree=0
+        if cfg.get("wonder3d_root"):
+            # real Wonder3D checkout: the three-stage subprocess pipeline
+            # (GassuianEditorAdd.py:121-157)
+            from gaussianeditor_tpu.edit.wonder3d_adapter import (
+                Wonder3DGenerator,
+            )
+
+            generator = Wonder3DGenerator(
+                wonder3d_root=cfg["wonder3d_root"],
+                cache_dir=os.path.join(trial_dir, "add_cache"),
+                refine_prompt=str(cfg.get("refine_prompt", "")),
+            )
+        else:
+            generator = FakeObjectGenerator()
+        depth_est = None
+        if cfg.get("dpt", False):
+            from gaussianeditor_tpu.edit.dpt_adapter import DPTDepthEstimator
+
+            depth_est = DPTDepthEstimator(
+                pretrained=cfg.get("dpt_checkpoint", "Intel/dpt-hybrid-midas")
             )
 
         system = AddSystem(
             scene, scene_cams.cameras, parse_structured(AddConfig, sys_cfg),
             inpainter=build_inpainter(cfg.get("inpainter", "fake")),
-            object_generator=_fake_generator,
+            object_generator=generator,
+            depth_estimator=depth_est,
         )
         merged = system.run()
         save_ply(merged, os.path.join(trial_dir, "merged.ply"))
@@ -203,6 +218,47 @@ def main(argv=None) -> None:
         system.fit(n_steps=system.cfg.refine_steps, callback=logger)
 
     final_scene = system.scene if system is not None else scene
+
+    if args.validate and mode in ("edit", "del"):
+        # validation grids (origin | target | render) over linspaced val
+        # views + a metrics JSON — GassuianEditor.validation_step
+        # (GassuianEditor.py:283-345) + metrics.py parity
+        import jax
+
+        from gaussianeditor_tpu.data.view_dataset import select_val_views
+        from gaussianeditor_tpu.train.metrics import compute_image_metrics
+        from gaussianeditor_tpu.utils.saving import save_image_grid
+
+        if system.state is None:
+            system.on_fit_start()
+        val_dir = os.path.join(trial_dir, "validation")
+        os.makedirs(val_dir, exist_ok=True)
+        val_views = select_val_views(
+            system.sampler.views, int(cfg.get("n_val_views", 8))
+        )
+        preds, targets = [], []
+        for vid in val_views:
+            system._refresh_targets([vid], int(system.state.step))
+            rendered = np.asarray(
+                system._render_cache(system.state.scene, system.cameras[vid])
+            )
+            origin = system.origin_frames[vid]
+            target = system.edit_frames.get(vid, origin)
+            preds.append(rendered)
+            targets.append(target)
+            save_image_grid(
+                os.path.join(val_dir, f"val_{vid:03d}.png"),
+                [origin, target, rendered],
+            )
+        metrics_out = compute_image_metrics(preds, targets)
+        if system.cfg.clip_prompt_origin and system.cfg.clip_prompt_target:
+            try:
+                metrics_out.update(system.compute_clip())
+            except Exception as e:  # CLIP weights absent (zero egress)
+                metrics_out["clip_error"] = str(e)
+        with open(os.path.join(val_dir, "metrics.json"), "w") as f:
+            json.dump(metrics_out, f, indent=2)
+        print(f"validation metrics: {metrics_out}")
 
     if args.export or args.train:
         save_ply(final_scene, os.path.join(trial_dir, "last.ply"))

@@ -51,10 +51,27 @@ label{font-size:12px;color:#aaa}#log{font-size:11px;white-space:pre-wrap}
 <button onclick="trace()">trace mask</button>
 <label><input id=overlay type=checkbox style="width:auto"> semantic overlay</label>
 <hr><label>edit prompt</label><input id=editp placeholder="make it golden">
+<label>inpaint prompt (delete)</label><input id=inpp placeholder="background">
 <label>steps</label><input id=steps type=number value=400>
 <select id=mode><option value=edit>edit</option><option value=del>delete</option></select>
 <button onclick="startEdit()">start training</button>
 <button onclick="post('/stop',{})">stop</button>
+<hr><label>add: prompt + bbox x0,y0,x1,y1 + view</label>
+<input id=addp placeholder="a stone statue">
+<input id=addb placeholder="128,128,384,384" value="128,128,384,384">
+<input id=addv type=number value=0>
+<button onclick="startAdd()">add object</button>
+<hr><details><summary>training settings</summary>
+<label>densify interval</label><input id=c_di type=number value=100>
+<label>densify grad threshold</label><input id=c_dg type=number value=0.01 step=0.001>
+<label>max densify %</label><input id=c_dp type=number value=0.01 step=0.001>
+<label>min opacity</label><input id=c_mo type=number value=0.005 step=0.001>
+<label>per-editing step</label><input id=c_pe type=number value=10>
+<label>lambda L1</label><input id=c_l1 type=number value=10>
+<label>lambda perceptual</label><input id=c_lp type=number value=10>
+<label>lambda anchor geo</label><input id=c_ag type=number value=50>
+<label>lambda anchor color</label><input id=c_ac type=number value=5>
+<button onclick="applyCfg()">apply settings</button></details>
 <button onclick="post('/save',{path:'webui_output.ply'})">save ply</button>
 <div id=log></div></div>
 <script>
@@ -77,8 +94,17 @@ async function post(u,b){const r=await fetch(u,{method:'POST',body:JSON.stringif
 function trace(){post('/trace',{prompt:document.getElementById('segp').value,
   threshold:+document.getElementById('thres').value});}
 function startEdit(){post('/edit',{prompt:document.getElementById('editp').value,
-  steps:+document.getElementById('steps').value,mode:document.getElementById('mode').value});
+  steps:+document.getElementById('steps').value,mode:document.getElementById('mode').value,
+  inpaint_prompt:document.getElementById('inpp').value});
   poll();}
+function startAdd(){const b=document.getElementById('addb').value.split(',').map(Number);
+  post('/add',{prompt:document.getElementById('addp').value,bbox:b,
+  view:+document.getElementById('addv').value});poll();}
+function applyCfg(){const v=id=>+document.getElementById(id).value;
+  post('/config',{densification_interval:v('c_di'),densify_grad_threshold:v('c_dg'),
+  max_densify_percent:v('c_dp'),min_opacity:v('c_mo'),per_editing_step:v('c_pe'),
+  'loss.lambda_l1':v('c_l1'),'loss.lambda_p':v('c_lp'),
+  'loss.lambda_anchor_geo':v('c_ag'),'loss.lambda_anchor_color':v('c_ac')});}
 async function poll(){const s=await (await fetch('/status')).json();log(JSON.stringify(s));
   refresh(); if(s.training) setTimeout(poll, 1500);}
 function log(m){document.getElementById('log').textContent=m;}
@@ -89,7 +115,8 @@ refresh();
 class WebUIState:
     def __init__(self, scene, cameras, cameras_extent: float,
                  guidance=None, segmentor=None, inpainter=None,
-                 edit_config=None):
+                 edit_config=None, object_generator=None,
+                 depth_estimator=None, point_segmentor=None):
         import jax
         import jax.numpy as jnp
 
@@ -102,6 +129,9 @@ class WebUIState:
         self.guidance = guidance
         self.segmentor = segmentor
         self.inpainter = inpainter
+        self.object_generator = object_generator
+        self.depth_estimator = depth_estimator
+        self.point_segmentor = point_segmentor
         self.edit_config = edit_config or EditConfig(
             batch_size=2, cameras_extent=cameras_extent
         )
@@ -147,15 +177,23 @@ class WebUIState:
         return self._render_cache[key]
 
     def render_frame(self, theta: float, phi: float, radius: float,
-                     size: int, overlay: bool) -> bytes:
-        from gaussianeditor_tpu.core.cameras import lookat_camera
+                     size: int, overlay: bool,
+                     pose=None, fovx: float = 0.8,
+                     fovy: float = 0.8) -> bytes:
+        from gaussianeditor_tpu.core.cameras import Camera, lookat_camera
 
-        eye = self.center + radius * np.array(
-            [np.cos(theta) * np.cos(phi), np.sin(phi),
-             np.sin(theta) * np.cos(phi)]
-        )
-        cam = lookat_camera(eye, self.center, np.array([0.0, 1.0, 0.0]),
-                            0.8, 0.8, size, size)
+        if pose is not None:
+            # client-supplied camera-to-world pose (reference camera
+            # property from the viser client, webui.py:799-829)
+            c2w = np.asarray(pose, np.float64).reshape(4, 4)
+            cam = Camera.from_c2w(c2w, fovx, fovy, size, size)
+        else:
+            eye = self.center + radius * np.array(
+                [np.cos(theta) * np.cos(phi), np.sin(phi),
+                 np.sin(theta) * np.cos(phi)]
+            )
+            cam = lookat_camera(eye, self.center, np.array([0.0, 1.0, 0.0]),
+                                fovx, fovy, size, size)
         with self.lock:
             img = np.asarray(self._renderer(size, overlay)(self.scene, cam))
         import imageio.v2 as imageio
@@ -212,58 +250,174 @@ class WebUIState:
             n_sel = int(np.asarray(self.scene.mask).sum())
         return {"selected": n_sel, "total": int(self.scene.n_alive)}
 
-    def start_training(self, prompt: str, steps: int, mode: str) -> dict:
+    def update_config(self, updates: dict) -> dict:
+        """Densify / LR / loss / anchor / schedule knobs — the sliders of
+        the reference GUI tree (webui.py:224-391). Top-level EditConfig
+        fields plus `loss.*` lambdas; applied to subsequent trainings."""
+        import dataclasses
+
+        from gaussianeditor_tpu.train.trainer import LossWeights
+
+        cfg = self.edit_config
+        loss_updates = {}
+        top_updates = {}
+        for k, v in updates.items():
+            if k.startswith("loss."):
+                loss_updates[k[5:]] = v
+            else:
+                top_updates[k] = v
+        bad = [k for k in top_updates
+               if k not in {f.name for f in dataclasses.fields(cfg)}]
+        bad += [f"loss.{k}" for k in loss_updates
+                if k not in {f.name for f in dataclasses.fields(LossWeights)}]
+        if bad:
+            return {"error": f"unknown config keys: {bad}"}
+        loss = (cfg.loss.replace(**loss_updates) if loss_updates
+                else cfg.loss)
+        with self.lock:
+            self.edit_config = dataclasses.replace(
+                cfg, loss=loss, **top_updates
+            )
+        out = dataclasses.asdict(self.edit_config)
+        out["loss"] = {f.name: getattr(self.edit_config.loss, f.name)
+                       for f in dataclasses.fields(LossWeights)}
+        return out
+
+    def _run_in_thread(self, build_and_fit) -> dict:
         if self.training:
             return {"error": "already training"}
         self.stop_flag = False
 
         def run():
-            import dataclasses
-
-            from gaussianeditor_tpu.edit.edit_system import EditSystem
-
-            cfg = dataclasses.replace(
-                self.edit_config, prompt=prompt, max_steps=int(steps)
-            )
-            system = EditSystem(self.scene, self.cameras, cfg,
-                                guidance=self.guidance)
-            system.on_fit_start()
             self.training = True
             try:
-                for _ in range(int(steps)):
-                    if self.stop_flag:
-                        break
-                    step = int(system.state.step)
-                    vids = system.sampler.sample()
-                    system._refresh_targets(vids, step)
-                    from gaussianeditor_tpu.train.trainer import stack_cameras
-
-                    cam_batch = stack_cameras(
-                        [system.cameras[v] for v in vids]
-                    )
-                    targets = self._jnp.asarray(
-                        np.stack([system.edit_frames[v] for v in vids])
-                    )
-                    system.state, metrics = system.train_step(
-                        system.state, cam_batch, targets
-                    )
-                    if (0 < step < cfg.densify_until_step
-                            and step % cfg.densification_interval == 0):
-                        system.key, sub = self._jax.random.split(system.key)
-                        system.state, _ = system.densify_step(
-                            system.state, sub
-                        )
-                    with self.lock:
-                        self.scene = system.state.scene
-                        self.last_metrics = {
-                            "step": step,
-                            "loss": float(metrics["loss"]),
-                        }
+                build_and_fit()
+            except Exception as e:  # surface errors to /status
+                with self.lock:
+                    self.last_metrics = {"error": f"{type(e).__name__}: {e}"}
             finally:
                 self.training = False
 
         threading.Thread(target=run, daemon=True).start()
-        return {"started": True, "mode": mode, "steps": steps}
+        return {"started": True}
+
+    def _fit_callbacks(self):
+        def cb(step, metrics):
+            with self.lock:
+                self.last_metrics = {
+                    "step": int(step),
+                    "loss": float(metrics["loss"]),
+                    "loss_l1": float(metrics.get("loss_l1", 0.0)),
+                    "loss_p": float(metrics.get("loss_p", 0.0)),
+                }
+
+        return cb, (lambda: self.stop_flag)
+
+    def start_training(self, prompt: str, steps: int, mode: str,
+                       inpaint_prompt: str = "") -> dict:
+        """Edit / delete training (reference edit() webui.py:1129-1193 /
+        delete() :1038-1126). Runs through the systems' fit() loops, so
+        the C()-scheduled loss weights, the default perceptual term and
+        densification all apply exactly as in the CLI path."""
+        import dataclasses
+
+        if mode == "del":
+            if self.inpainter is None or self.segmentor is None:
+                return {"error": "delete needs an inpainter and a segmentor"}
+
+            from gaussianeditor_tpu.edit.del_system import (
+                DelConfig,
+                DelSystem,
+            )
+
+            base = {
+                f.name: getattr(self.edit_config, f.name)
+                for f in dataclasses.fields(self.edit_config)
+            }
+            cfg = DelConfig(**base)
+            cfg = dataclasses.replace(
+                cfg, seg_prompt=prompt or cfg.seg_prompt,
+                inpaint_prompt=inpaint_prompt, max_steps=int(steps),
+            )
+
+            def run_del():
+                system = DelSystem(self.scene, self.cameras, cfg,
+                                   inpainter=self.inpainter,
+                                   segmentor=self.segmentor)
+                cb, stop = self._fit_callbacks()
+
+                def cb_sync(step, metrics):
+                    cb(step, metrics)
+                    with self.lock:
+                        self.scene = system.state.scene
+
+                system.fit(callback=cb_sync, should_stop=stop)
+                with self.lock:
+                    self.scene = system.scene
+
+            return {**self._run_in_thread(run_del), "mode": mode,
+                    "steps": steps}
+
+        from gaussianeditor_tpu.edit.edit_system import EditSystem
+
+        cfg = dataclasses.replace(
+            self.edit_config, prompt=prompt, max_steps=int(steps)
+        )
+
+        def run_edit():
+            system = EditSystem(self.scene, self.cameras, cfg,
+                                guidance=self.guidance,
+                                segmentor=self.segmentor)
+            cb, stop = self._fit_callbacks()
+
+            def cb_sync(step, metrics):
+                cb(step, metrics)
+                with self.lock:
+                    self.scene = system.state.scene
+
+            system.fit(callback=cb_sync, should_stop=stop)
+            with self.lock:
+                self.scene = system.scene
+
+        return {**self._run_in_thread(run_edit), "mode": mode,
+                "steps": steps}
+
+    def start_add(self, prompt: str, bbox, view: int = 0) -> dict:
+        """Object insertion (reference add(), webui.py:1195-1475):
+        inpaint the bbox, generate the object (Wonder3D adapter or any
+        ObjectGenerator), depth-align, concat."""
+        if self.inpainter is None or self.object_generator is None:
+            return {"error": "add needs an inpainter and an object_generator"}
+        import dataclasses
+
+        from gaussianeditor_tpu.edit.add_system import AddConfig, AddSystem
+
+        base = {
+            f.name: getattr(self.edit_config, f.name)
+            for f in dataclasses.fields(self.edit_config)
+        }
+        cfg = AddConfig(**base)
+        cfg = dataclasses.replace(
+            cfg, inpaint_prompt=prompt,
+            bbox=tuple(int(v) for v in bbox),
+            anchor_view_id=int(view),
+        )
+
+        def run_add():
+            system = AddSystem(
+                self.scene, self.cameras, cfg,
+                inpainter=self.inpainter,
+                object_generator=self.object_generator,
+                depth_estimator=self.depth_estimator,
+            )
+            merged = system.run()
+            with self.lock:
+                self.scene = merged
+                self.last_metrics = {
+                    "added": True, "n_alive": int(merged.n_alive),
+                }
+
+        return {**self._run_in_thread(run_add), "mode": "add"}
 
     def save(self, path: str) -> dict:
         from gaussianeditor_tpu.models.ply import save_ply
@@ -297,12 +451,22 @@ def make_handler(state: WebUIState):
                 self.wfile.write(body)
             elif url.path == "/render":
                 q = parse_qs(url.query)
+                pose = None
+                if "pose" in q:
+                    vals = [float(v) for v in q["pose"][0].split(",")]
+                    if len(vals) != 16:
+                        return self._json(
+                            {"error": "pose must be 16 floats (c2w)"}, 400)
+                    pose = vals
                 png = state.render_frame(
                     float(q.get("theta", [0.6])[0]),
                     float(q.get("phi", [0.3])[0]),
                     float(q.get("radius", [4.0])[0]),
                     int(q.get("size", [512])[0]),
                     q.get("overlay", ["0"])[0] == "1",
+                    pose=pose,
+                    fovx=float(q.get("fovx", [0.8])[0]),
+                    fovy=float(q.get("fovy", [0.8])[0]),
                 )
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
@@ -311,6 +475,8 @@ def make_handler(state: WebUIState):
                 self.wfile.write(png)
             elif url.path == "/status":
                 self._json({"training": state.training, **state.last_metrics})
+            elif url.path == "/config":
+                self._json(state.update_config({}))
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -335,7 +501,16 @@ def make_handler(state: WebUIState):
                     payload.get("prompt", ""),
                     int(payload.get("steps", 100)),
                     payload.get("mode", "edit"),
+                    inpaint_prompt=payload.get("inpaint_prompt", ""),
                 ))
+            elif url.path == "/add":
+                self._json(state.start_add(
+                    payload.get("prompt", ""),
+                    payload.get("bbox", [0, 0, 0, 0]),
+                    int(payload.get("view", 0)),
+                ))
+            elif url.path == "/config":
+                self._json(state.update_config(payload))
             elif url.path == "/stop":
                 state.stop_flag = True
                 self._json({"stopping": True})

@@ -46,6 +46,10 @@ class EditConfig:
 
     prompt: str = ""
     seg_prompt: str = ""            # empty -> no semantic tracing
+    # CLIP directional-eval prompts (GassuianEditorEdit.py:26-28);
+    # compute_clip() runs when both are set
+    clip_prompt_origin: str = ""
+    clip_prompt_target: str = ""
     local_edit: bool = False        # train/render only the masked region
     mask_thres: float = 0.5
     batch_size: int = 2
@@ -62,6 +66,9 @@ class EditConfig:
     anchor_weight_init_g0: float = 0.05
     anchor_weight_init: float = 0.1
     anchor_weight_multiplier: float = 1.3
+    # seeded training-view subset size (gs_load.py:218-221; 48 WebUI /
+    # 96 CLI); None or >= len(cameras) trains on every view
+    max_view_num: Optional[int] = None
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     # LR scalers (GassuianEditor.py:483-505 builds OptimizationParams from
     # trainer.max_steps and these multipliers)
@@ -96,11 +103,21 @@ def make_optimizer(cfg: EditConfig) -> GaussianAdam:
 
 class ViewSampler:
     """Without-replacement refilling camera stack — reference `collate`
-    (data/gs_load.py:254-271) / `sample_train_camera` (ui_utils.py:103)."""
+    (data/gs_load.py:254-271) / `sample_train_camera` (ui_utils.py:103).
 
-    def __init__(self, n_views: int, batch_size: int, seed: int = 0):
-        self.n = n_views
+    `max_view_num` restricts training to a seeded view subset, exactly
+    like the reference's `n2n_view_index` (gs_load.py:218-221)."""
+
+    def __init__(self, n_views: int, batch_size: int, seed: int = 0,
+                 max_view_num: Optional[int] = None):
+        from gaussianeditor_tpu.data.view_dataset import select_train_views
+
         self.batch = batch_size
+        if max_view_num is not None and max_view_num < n_views:
+            self.views = select_train_views(n_views, max_view_num, seed)
+        else:
+            self.views = list(range(n_views))
+        self.n = len(self.views)
         self.rng = np.random.RandomState(seed)
         self._stack: List[int] = []
 
@@ -108,7 +125,8 @@ class ViewSampler:
         out = []
         for _ in range(self.batch):
             if not self._stack:
-                self._stack = list(self.rng.permutation(self.n))
+                self._stack = [self.views[i]
+                               for i in self.rng.permutation(self.n)]
             out.append(int(self._stack.pop()))
         return out
 
@@ -179,7 +197,8 @@ class EditSystem:
             config.anchor_weight_multiplier,
         )
         self.sampler = ViewSampler(len(self.cameras), config.batch_size,
-                                   config.seed)
+                                   config.seed,
+                                   max_view_num=config.max_view_num)
         self.origin_frames: Dict[int, np.ndarray] = {}
         self.edit_frames: Dict[int, np.ndarray] = {}
         self.state: Optional[TrainState] = None
@@ -223,6 +242,34 @@ class EditSystem:
         if self.cfg.seg_prompt and self.segmentor is not None:
             self.update_mask()
         self.state = init_train_state(self.scene, self.optim)
+
+    def compute_clip(self, embedder=None) -> Dict[str, float]:
+        """CLIP directional similarity between the origin renders and the
+        current edited renders over all views (compute_clip,
+        GassuianEditorEdit.py:156-173). `embedder` defaults to the
+        openai-CLIP torch embedder; any `ClipEmbedder` works (tests use a
+        deterministic fake)."""
+        from gaussianeditor_tpu.utils.clip_metrics import (
+            TorchClipSimilarity,
+            compute_clip_directional,
+        )
+
+        assert self.cfg.clip_prompt_origin and self.cfg.clip_prompt_target, (
+            "set clip_prompt_origin and clip_prompt_target"
+        )
+        if embedder is None:
+            embedder = TorchClipSimilarity()
+        self.render_all_views()
+        scene = self.state.scene if self.state is not None else self.scene
+        edited = [
+            np.asarray(self._render_cache(scene, cam))
+            for cam in self.cameras
+        ]
+        origin = [self.origin_frames[i] for i in range(len(self.cameras))]
+        return compute_clip_directional(
+            embedder, origin, edited,
+            self.cfg.clip_prompt_origin, self.cfg.clip_prompt_target,
+        )
 
     # --- per-step target refresh (GassuianEditorEdit.py:76-99) ---
 
@@ -280,11 +327,17 @@ class EditSystem:
 
     # --- training ---
 
-    def fit(self, n_steps: Optional[int] = None, callback=None) -> TrainState:
+    def fit(self, n_steps: Optional[int] = None, callback=None,
+            should_stop=None) -> TrainState:
+        """Run the training loop. `should_stop()` is polled each step —
+        the WebUI's soft-stop flag (reference stop_training,
+        webui.py:98,1124)."""
         if self.state is None:
             self.on_fit_start()
         n = n_steps if n_steps is not None else self.cfg.max_steps
         for _ in range(n):
+            if should_stop is not None and should_stop():
+                break
             step = int(self.state.step)
             view_ids = self.sampler.sample()
             self._refresh_targets(view_ids, step)

@@ -116,6 +116,27 @@ class FakeLatentModel:
         return out
 
 
+class FakeObjectGenerator:
+    """Deterministic `ObjectGenerator`: a Gaussian blob tinted with the
+    input image's mean color — the hermetic stand-in for the Wonder3D
+    subprocess pipeline (edit/wonder3d_adapter.py)."""
+
+    def __init__(self, n_points: int = 2000, seed: int = 0):
+        self.n_points = n_points
+        self.seed = seed
+
+    def __call__(self, image, prompt: str):
+        from gaussianeditor_tpu.models.gaussians import GaussianScene
+
+        rng = np.random.RandomState(self.seed)
+        pts = rng.normal(0, 0.3, (self.n_points, 3)).astype(np.float32)
+        img = np.asarray(image, np.float32)
+        color = img[..., :3].reshape(-1, 3).mean(0)
+        return GaussianScene.from_points(
+            pts, np.tile(color, (self.n_points, 1)), max_sh_degree=0
+        )
+
+
 class FakeInpainter:
     """Fills the masked region with the mean color of the unmasked region
     (a deterministic 'plausible fill')."""

@@ -153,7 +153,7 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
 
         @pl.when((n_valid > 0) & not_all_done)
         def _compute():
-            buf = inst_ref[:]           # [F, CHUNK]
+            buf = inst_ref[0]           # [F, CHUNK]
             xs = buf[0:1, :]
             ys = buf[1:2, :]
             cxx = buf[2:3, :]
@@ -204,7 +204,7 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
         num_scalar_prefetch=4,  # tile, first, n_valid, offset
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((F, CHUNK), lambda c, ct, cf, nv, co: (0, c)),
+            pl.BlockSpec((1, F, CHUNK), lambda c, ct, cf, nv, co: (c, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, PX, CH1 + 2),
@@ -253,7 +253,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             )
 
         n_valid = nv_ref[c]
-        grad_ref[:] = jnp.zeros((GF, CHUNK), jnp.float32)
+        grad_ref[0] = jnp.zeros((GF, CHUNK), jnp.float32)
 
         # act gates out chunks past the tile's last contributor: every
         # pixel's m-mask is all-False there, so grads are zero and the
@@ -262,7 +262,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
         # backward skips until last_contributor, backward.cu:441-447).
         @pl.when(act_ref[c] == 1)
         def _compute():
-            buf = inst_ref[:]
+            buf = inst_ref[0]
             xs = buf[0:1, :]
             ys = buf[1:2, :]
             cxx = buf[2:3, :]
@@ -351,7 +351,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((pad, CHUNK), jnp.float32)], axis=0
                 )
-            grad_ref[:] = rows
+            grad_ref[0] = rows
 
             logt_sc[:] = logt_sc[:] + total
             s_sc[:] = s_sc[:] + u_total
@@ -360,14 +360,14 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
         num_scalar_prefetch=5,  # tile, first, n_valid, offset, active
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((F, CHUNK),
-                         lambda c, ct, cf, nv, co, a: (0, c)),
+            pl.BlockSpec((1, F, CHUNK),
+                         lambda c, ct, cf, nv, co, a: (c, 0, 0)),
             pl.BlockSpec((1, PX, 2 * CH1 + 3),
                          lambda c, ct, cf, nv, co, a: (ct[c], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((GF, CHUNK),
-                         lambda c, ct, cf, nv, co, a: (0, c)),
+            pl.BlockSpec((1, GF, CHUNK),
+                         lambda c, ct, cf, nv, co, a: (c, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((PX, 1), jnp.float32),
@@ -379,7 +379,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((GF, num_chunks * CHUNK),
+        out_shape=[jax.ShapeDtypeStruct((num_chunks, GF, CHUNK),
                                         jnp.float32)],
         interpret=_interpret(),
     )
@@ -421,7 +421,9 @@ def make_pallas_compositor(n_tiles: int, grid_x: int, ch: int, r2: int,
         g = jnp.pad(g, ((0, 1), (0, F - g.shape[1])))  # [C+1, F]
         gid_safe = jnp.where(valid, gid, g.shape[0] - 1)
         inst = g[gid_safe]              # [R2, F]
-        return inst.T                   # [F, R2]
+        # chunk-blocked [NC, F, CHUNK]: per-chunk transposes fuse into
+        # the gather; a global [R2, F] -> [F, R2] transpose does not
+        return jnp.swapaxes(inst.reshape(num_chunks, CHUNK, F), 1, 2)
 
     def run_forward(args):
         mean2d, conic, opacity, color, depth, gid, valid, ts, tl = args
@@ -482,7 +484,7 @@ def make_pallas_compositor(n_tiles: int, grid_x: int, ch: int, r2: int,
         gid_safe = jnp.where(valid, gid, capacity)
         acc_rows = jnp.zeros((capacity + 1, GF), jnp.float32).at[
             gid_safe
-        ].add(grows.T)
+        ].add(jnp.swapaxes(grows, 1, 2).reshape(-1, GF))
         d = acc_rows[:capacity]
         d_mean2d = d[:, 0:2]
         d_conic = d[:, 2:5]
@@ -534,16 +536,19 @@ def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
             [mean2d, conic, opacity[:, None], depth[:, None], color],
             axis=1,
         )  # [C, 7+ch]
-        g = jnp.pad(g, ((0, 0), (0, F - g.shape[1])))
-        rows_sorted = g[db.sorted_g]                       # [R, F]
-        rows_sorted = jnp.pad(rows_sorted, ((0, 1), (0, 0)))  # zero dummy R
+        g = jnp.pad(g, ((0, 1), (0, F - g.shape[1])))      # zero dummy C
         # aligned src map: chunk c's rows are sorted rows p0[c]..p0[c]+127,
         # live while lane < n_valid[c] — a pure broadcast, no searches.
+        # ONE fused row gather (sorted_g composed in int space), emitted
+        # chunk-blocked so the per-chunk transpose fuses into the gather.
+        C_ = g.shape[0] - 1
+        sg = jnp.pad(db.sorted_g, (0, 1), constant_values=C_)
         lane = jax.lax.broadcasted_iota(jnp.int32, (NC, CHUNK), 1)
         src = db.chunk_p0[:, None] + lane
         src = jnp.where(lane < db.chunk_nvalid[:, None], src, R)
-        inst = rows_sorted[src.reshape(-1)]                # [R2, F]
-        return inst.T                                      # [F, R2]
+        gidx = sg[src]                                     # [NC, CHUNK]
+        inst = g[gidx]                                     # [NC, CHUNK, F]
+        return jnp.swapaxes(inst, 1, 2)                    # [NC, F, CHUNK]
 
     def run_forward(args):
         mean2d, conic, opacity, color, depth, db = args
@@ -588,8 +593,11 @@ def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
         # [B[g-1], B[g]) ), then cumsum + boundary difference. Dead
         # chunks' rows are zeroed by the kernel, so ranks past
         # num_rendered contribute nothing.
-        rows_al = grows.T                         # [R2, GF]
-        rows_rank = rows_al[db.a_by_rank]         # [R, GF]
+        # row-major view of the chunk-blocked kernel output, then one row
+        # gather into pre-sort rank order (measured faster than a
+        # two-axis [chunk, :, lane] advanced-index gather)
+        rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)  # [R2, GF]
+        rows_rank = rows_al[db.a_by_rank]                    # [R, GF]
         colmean = jnp.mean(rows_rank, axis=0, keepdims=True)
         S = jnp.cumsum(rows_rank - colmean, axis=0, dtype=jnp.float32)
         S = jnp.concatenate([jnp.zeros((1, GF), jnp.float32), S], axis=0)
