@@ -7,6 +7,14 @@ and `jax.vjp` reproduces the hand-written CUDA backward
 (`backward.cu:144-396`) automatically; only the sequential compositing
 loop needs custom kernels.
 
+Layout: every intermediate is a 1-D [C] array ("structure of arrays",
+capacity on the 128-lane axis). The AoS formulation ([C, 3] points,
+[C, 3, 3] batched covariance matmuls, [C, 16, 3] SH contractions) puts
+a 2-4 element dimension on the lanes and runs ~30-100x below the VPU
+roofline; the SoA rewrite measured 4.65 ms -> ~0.05 ms for the full
+stage at C=100k on a v5e chip (bench/prof_r4.py). Small [C, k] stacks
+are emitted only at the output boundary.
+
 All shapes are static over the full capacity C; dead/culled Gaussians are
 carried with `visible=False` and zeroed radii rather than compacted.
 
@@ -24,8 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussianeditor_tpu.core.cameras import Camera
-from gaussianeditor_tpu.core.sh import eval_sh
-from gaussianeditor_tpu.core.transforms import build_covariance
+from gaussianeditor_tpu.core.sh import C0, C1, C2, C3, C4, num_sh_bases
 
 TILE = 16  # pixels per tile side (config.h:15-17 BLOCK_X/BLOCK_Y; 8x8
 # tiles measured slower on TPU: instance duplication outweighs the
@@ -50,48 +57,60 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
-def compute_cov2d(
-    xyz: jnp.ndarray,
-    cov3d: jnp.ndarray,
-    world_view: jnp.ndarray,
-    focal_x: jnp.ndarray,
-    focal_y: jnp.ndarray,
-    tan_fovx: jnp.ndarray,
-    tan_fovy: jnp.ndarray,
-) -> jnp.ndarray:
-    """EWA projection of the 3D covariance to screen space.
+def _eval_sh_soa(max_degree, shT, x, y, z, active_degree):
+    """SH basis combination in SoA layout.
 
-    Math parity with `computeCov2D` (forward.cu:74-113): cov2d =
-    J V Sigma V^T J^T with the frustum-clamped Jacobian, then +0.3 on the
-    diagonal. Returns [C, 3] (xx, xy, yy).
+    shT: [K, ch, C] coefficients; x/y/z: [C] unit direction components.
+    Same basis constants and band order as core/sh.eval_sh (parity with
+    `sh_utils.py:57-130` / `forward.cu:20-71`); returns [ch, C].
     """
-    R = world_view[:3, :3]
-    t = xyz @ R.T + world_view[:3, 3]
-    tz = t[..., 2]
 
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
-    txtz = t[..., 0] / tz
-    tytz = t[..., 1] / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
+    def gate(deg, val):
+        if active_degree is None:
+            return val
+        return jnp.where(deg <= active_degree, val, jnp.zeros_like(val))
 
-    inv_tz = 1.0 / tz
-    inv_tz2 = inv_tz * inv_tz
-    zeros = jnp.zeros_like(tz)
-    # J: [C, 2, 3]
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    JW = J @ R  # [C, 2, 3]
-    cov = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # [C, 2, 2]
-    return jnp.stack(
-        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
-    )
+    res = C0 * shT[0]
+    if max_degree == 0:
+        return res
+    band1 = (-C1 * y) * shT[1] + (C1 * z) * shT[2] + (-C1 * x) * shT[3]
+    res = res + gate(1, band1)
+    if max_degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        band2 = (
+            (C2[0] * xy) * shT[4]
+            + (C2[1] * yz) * shT[5]
+            + (C2[2] * (2.0 * zz - xx - yy)) * shT[6]
+            + (C2[3] * xz) * shT[7]
+            + (C2[4] * (xx - yy)) * shT[8]
+        )
+        res = res + gate(2, band2)
+    if max_degree >= 3:
+        band3 = (
+            (C3[0] * y * (3 * xx - yy)) * shT[9]
+            + (C3[1] * xy * z) * shT[10]
+            + (C3[2] * y * (4 * zz - xx - yy)) * shT[11]
+            + (C3[3] * z * (2 * zz - 3 * xx - 3 * yy)) * shT[12]
+            + (C3[4] * x * (4 * zz - xx - yy)) * shT[13]
+            + (C3[5] * z * (xx - yy)) * shT[14]
+            + (C3[6] * x * (xx - 3 * yy)) * shT[15]
+        )
+        res = res + gate(3, band3)
+    if max_degree >= 4:
+        band4 = (
+            (C4[0] * xy * (xx - yy)) * shT[16]
+            + (C4[1] * yz * (3 * xx - yy)) * shT[17]
+            + (C4[2] * xy * (7 * zz - 1)) * shT[18]
+            + (C4[3] * yz * (7 * zz - 3)) * shT[19]
+            + (C4[4] * (zz * (35 * zz - 30) + 3)) * shT[20]
+            + (C4[5] * xz * (7 * zz - 3)) * shT[21]
+            + (C4[6] * (xx - yy) * (7 * zz - 1)) * shT[22]
+            + (C4[7] * xz * (xx - 3 * yy)) * shT[23]
+            + (C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))) * shT[24]
+        )
+        res = res + gate(4, band4)
+    return res
 
 
 def preprocess(
@@ -117,41 +136,94 @@ def preprocess(
     (`gaussian_renderer/__init__.py:60-69`, NDC scaling as in
     backward.cu:460-461).
     """
-    C = xyz.shape[0]
     W, H = camera.width, camera.height
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
 
     # Projection (forward.cu:197-200 + in_frustum auxiliary.h:139-164).
-    ones = jnp.ones((C, 1), xyz.dtype)
-    p_hom = jnp.concatenate([xyz, ones], axis=-1) @ camera.full_proj.T
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    p_proj = p_hom[..., :3] * p_w[..., None]
-    p_view_z = xyz @ camera.world_view[2, :3] + camera.world_view[2, 3]
-    in_frustum = p_view_z > 0.2
+    P = camera.full_proj
+    hx = P[0, 0] * x + P[0, 1] * y + P[0, 2] * z + P[0, 3]
+    hy = P[1, 0] * x + P[1, 1] * y + P[1, 2] * z + P[1, 3]
+    hw = P[3, 0] * x + P[3, 1] * y + P[3, 2] * z + P[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
+    WV = camera.world_view
+    tz = WV[2, 0] * x + WV[2, 1] * y + WV[2, 2] * z + WV[2, 3]
+    in_frustum = tz > 0.2
 
+    ndc_x = hx * p_w
+    ndc_y = hy * p_w
     if mean2d_offset_ndc is not None:
-        p_xy_ndc = p_proj[..., :2] + mean2d_offset_ndc
-    else:
-        p_xy_ndc = p_proj[..., :2]
-    mean2d = jnp.stack(
-        [ndc2pix(p_xy_ndc[..., 0], W), ndc2pix(p_xy_ndc[..., 1], H)], axis=-1
-    )
+        ndc_x = ndc_x + mean2d_offset_ndc[:, 0]
+        ndc_y = ndc_y + mean2d_offset_ndc[:, 1]
+    mx = ndc2pix(ndc_x, W)
+    my = ndc2pix(ndc_y, H)
 
-    # Covariance chain (forward.cu:118-152 + 74-113).
-    cov3d = build_covariance(jnp.exp(log_scales), quats, scale_modifier)
-    cov2d = compute_cov2d(
-        xyz, cov3d, camera.world_view,
-        camera.focal_x, camera.focal_y, camera.tan_fovx, camera.tan_fovy,
-    )
+    # Covariance chain (forward.cu:118-152: Sigma = L L^T, L = R diag(s)).
+    sc = jnp.exp(log_scales) * scale_modifier
+    sx, sy, sz = sc[:, 0], sc[:, 1], sc[:, 2]
+    q = quats
+    # gradient-safe normalization (see core/transforms.quat_normalize)
+    qn2 = q[:, 0] ** 2 + q[:, 1] ** 2 + q[:, 2] ** 2 + q[:, 3] ** 2
+    qinv = jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
+    qr, qi, qj, qk = (q[:, 0] * qinv, q[:, 1] * qinv,
+                      q[:, 2] * qinv, q[:, 3] * qinv)
+    R00 = 1 - 2 * (qj * qj + qk * qk)
+    R01 = 2 * (qi * qj - qr * qk)
+    R02 = 2 * (qi * qk + qr * qj)
+    R10 = 2 * (qi * qj + qr * qk)
+    R11 = 1 - 2 * (qi * qi + qk * qk)
+    R12 = 2 * (qj * qk - qr * qi)
+    R20 = 2 * (qi * qk - qr * qj)
+    R21 = 2 * (qj * qk + qr * qi)
+    R22 = 1 - 2 * (qi * qi + qj * qj)
+    L00, L01, L02 = R00 * sx, R01 * sy, R02 * sz
+    L10, L11, L12 = R10 * sx, R11 * sy, R12 * sz
+    L20, L21, L22 = R20 * sx, R21 * sy, R22 * sz
+    S00 = L00 * L00 + L01 * L01 + L02 * L02
+    S01 = L00 * L10 + L01 * L11 + L02 * L12
+    S02 = L00 * L20 + L01 * L21 + L02 * L22
+    S11 = L10 * L10 + L11 * L11 + L12 * L12
+    S12 = L10 * L20 + L11 * L21 + L12 * L22
+    S22 = L20 * L20 + L21 * L21 + L22 * L22
 
-    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    # EWA projection (computeCov2D, forward.cu:74-113): cov2d =
+    # J W Sigma W^T J^T with the frustum-clamped Jacobian, +0.3 diagonal.
+    tx = WV[0, 0] * x + WV[0, 1] * y + WV[0, 2] * z + WV[0, 3]
+    ty = WV[1, 0] * x + WV[1, 1] * y + WV[1, 2] * z + WV[1, 3]
+    limx = 1.3 * camera.tan_fovx
+    limy = 1.3 * camera.tan_fovy
+    txc = jnp.clip(tx / tz, -limx, limx) * tz
+    tyc = jnp.clip(ty / tz, -limy, limy) * tz
+    itz = 1.0 / tz
+    itz2 = itz * itz
+    J00 = camera.focal_x * itz
+    J02 = -camera.focal_x * txc * itz2
+    J11 = camera.focal_y * itz
+    J12 = -camera.focal_y * tyc * itz2
+    # T = J @ W (first two rows; the third row of J is zero)
+    T00 = J00 * WV[0, 0] + J02 * WV[2, 0]
+    T01 = J00 * WV[0, 1] + J02 * WV[2, 1]
+    T02 = J00 * WV[0, 2] + J02 * WV[2, 2]
+    T10 = J11 * WV[1, 0] + J12 * WV[2, 0]
+    T11 = J11 * WV[1, 1] + J12 * WV[2, 1]
+    T12 = J11 * WV[1, 2] + J12 * WV[2, 2]
+    A0 = T00 * S00 + T01 * S01 + T02 * S02
+    A1 = T00 * S01 + T01 * S11 + T02 * S12
+    A2 = T00 * S02 + T01 * S12 + T02 * S22
+    B0 = T10 * S00 + T11 * S01 + T12 * S02
+    B1 = T10 * S01 + T11 * S11 + T12 * S12
+    B2 = T10 * S02 + T11 * S12 + T12 * S22
+    c_xx = A0 * T00 + A1 * T01 + A2 * T02 + 0.3
+    c_xy = A0 * T10 + A1 * T11 + A2 * T12
+    c_yy = B0 * T10 + B1 * T11 + B2 * T12 + 0.3
+
+    det = c_xx * c_yy - c_xy * c_xy
     det_valid = det != 0.0
     det_inv = 1.0 / jnp.where(det_valid, det, 1.0)
-    conic = jnp.stack(
-        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv],
-        axis=-1,
-    )
+    conic_a = c_yy * det_inv
+    conic_b = -c_xy * det_inv
+    conic_c = c_xx * det_inv
 
-    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    mid = 0.5 * (c_xx + c_yy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
@@ -160,28 +232,17 @@ def preprocess(
     # Tile rect (auxiliary.h getRect), grid in tiles.
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
-    m2d = jax.lax.stop_gradient(mean2d)
-    rect_min = jnp.stack(
-        [
-            jnp.clip(((m2d[..., 0] - radius_f) / TILE).astype(jnp.int32), 0, grid_x),
-            jnp.clip(((m2d[..., 1] - radius_f) / TILE).astype(jnp.int32), 0, grid_y),
-        ],
-        axis=-1,
+    mxs = jax.lax.stop_gradient(mx)
+    mys = jax.lax.stop_gradient(my)
+    rminx = jnp.clip(((mxs - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
+    rminy = jnp.clip(((mys - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
+    rmaxx = jnp.clip(
+        ((mxs + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
     )
-    rect_max = jnp.stack(
-        [
-            jnp.clip(
-                ((m2d[..., 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32),
-                0, grid_x,
-            ),
-            jnp.clip(
-                ((m2d[..., 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32),
-                0, grid_y,
-            ),
-        ],
-        axis=-1,
+    rmaxy = jnp.clip(
+        ((mys + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
     )
-    tiles = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
+    tiles = (rmaxx - rminx) * (rmaxy - rminy)
 
     visible = in_frustum & det_valid & (tiles > 0)
     if alive is not None:
@@ -194,24 +255,25 @@ def preprocess(
         color = override_color
     else:
         assert sh is not None
-        dirs = xyz - camera.cam_pos
-        # gradient-safe normalization (see core/transforms.quat_normalize)
-        dn2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
-        dirs = dirs * jax.lax.rsqrt(jnp.maximum(dn2, 1e-24))
-        color = jnp.maximum(
-            eval_sh(max_sh_degree, sh, dirs, active_degree=active_sh_degree) + 0.5,
-            0.0,
-        )
+        assert sh.shape[-2] == num_sh_bases(max_sh_degree)
+        dx = x - camera.cam_pos[0]
+        dy = y - camera.cam_pos[1]
+        dz = z - camera.cam_pos[2]
+        dn = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        dx, dy, dz = dx * dn, dy * dn, dz * dn
+        shT = jnp.transpose(sh, (1, 2, 0))  # [K, ch, C]
+        res = _eval_sh_soa(max_sh_degree, shT, dx, dy, dz, active_sh_degree)
+        color = jnp.maximum(res + 0.5, 0.0).T  # [C, ch]
 
     return ProcessedGaussians(
-        mean2d=mean2d,
-        depth=p_view_z,
-        conic=conic,
+        mean2d=jnp.stack([mx, my], axis=-1),
+        depth=tz,
+        conic=jnp.stack([conic_a, conic_b, conic_c], axis=-1),
         color=color,
         opacity=opacity,
         radius=radius,
         visible=visible,
-        rect_min=rect_min,
-        rect_max=rect_max,
+        rect_min=jnp.stack([rminx, rminy], axis=-1),
+        rect_max=jnp.stack([rmaxx, rmaxy], axis=-1),
         tiles_touched=tiles_touched,
     )
