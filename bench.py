@@ -51,7 +51,11 @@ def main() -> None:
         0.8, 0.8, hw, hw,
     )
 
-    kwargs = dict(max_instances=524_288)  # impl auto: Pallas on TPU
+    # instance budget sized to the scene (num_rendered = 360,758; CUDA
+    # sizes its buffers to exactly num_rendered after a probe pass —
+    # rasterizer_impl.cu:236-244; our host overflow policy re-renders at
+    # doubled budget if a scene outgrows it, see ops/render.py:render_safe)
+    kwargs = dict(max_instances=393_216)  # impl auto: Pallas on TPU
 
     def loss(p):
         out = render(scene.replace(params=p), cam, jnp.zeros(3), **kwargs)
@@ -62,11 +66,15 @@ def main() -> None:
     # batch the iterations inside one jitted program: the single-chip
     # tunnel has ~70 ms per-dispatch overhead that would otherwise
     # dominate the measurement
+    # perturb xyz (not opacity): every real training step moves the
+    # geometry, so the binning/sort must re-run per iteration — an
+    # opacity-only perturbation lets XLA hoist the geometry-dependent
+    # sort out of the loop and flatters the measurement
     @jax.jit
     def bench_loop(params):
         def body(i, acc):
             g = jax.grad(loss)(
-                params.replace(opacity_raw=params.opacity_raw + i * 1e-6)
+                params.replace(xyz=params.xyz * (1.0 + i * 1e-9))
             )
             return acc + jnp.sum(g.xyz)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)

@@ -1,0 +1,298 @@
+"""v5 compact binning: payload-carrying sort ("fat sort") + block-
+transposed sorted payload for direct kernel consumption.
+
+The TPU-native successor of ops/binning_dense.py on the production path,
+motivated by measured primitive costs on a v5e chip (bench/prof_r8.py,
+bench/prof_r10.py):
+
+  random row gather  [R2, 16]      ~5.6 ms   (the v4 pack)
+  monotone row gather [C+1,16]->[R,16]  ~1.4 ms
+  lax.sort u32 key + 12 f32/i32 payloads @ 524k  ~2.5 ms
+  rank-space elementwise key build:  XLA ~1.8 ms, Pallas ~0.1 ms
+
+i.e. carrying the per-instance payload THROUGH the radix sort is ~4x
+cheaper than sorting ids and gathering the payload afterwards (the only
+hardware-efficient way to apply a data-dependent permutation on TPU is
+the sort network itself), and rank-space elementwise work belongs in a
+Pallas kernel, not XLA 1-D ops.
+
+Pipeline (all static shapes; C = Gaussian capacity, R = instance budget):
+  1. gsrc [R]: rank -> source Gaussian via ONE C-sized boundary scatter
+     + cummax (the vectorized inverse of CUDA's duplicateWithKeys
+     fan-out, rasterizer_impl.cu:67-100).
+  2. ONE monotone [C+1,16] -> [R,16] row gather of the combined table:
+     6 int fields (encoded exactly in f32; all < 2^24) for the key
+     kernel + the 7+ch f32 compositing payload.
+  3. Pallas key kernel: per-rank tile walk (y-major rect order,
+     duplicateWithKeys :81-95) -> fused [tile | depth-bits] 32-bit key
+     (rasterizer_impl.cu:256-261) AND the transposed payload [16, R]
+     whose rows are contiguous [R] sort operands.
+  4. ONE stable lax.sort: key + payload columns + gsrc + rank. This is
+     the CUB radix-sort analog and now also performs the "pack".
+  5. Chunk-aligned metadata via 1-D scans (as v4): chunks of 128 never
+     straddle a tile; per-chunk (tile, first, n_valid, offset) plus the
+     block/shift pair (qblk, shift) that lets the compositor kernels
+     read sorted rows [p0, p0+128) from the 128-blocked payload with a
+     dynamic lane roll — no aligned instance matrix is ever
+     materialized.
+  6. a_by_rank via ONE int-pair sort (permutation inversion at sort
+     cost) — consumed only by the backward's deterministic
+     cumsum-difference reduction; DCE'd in forward-only renders.
+
+No per-Gaussian tile cap; `overflow` + the host re-render-at-double
+policy replace CUDA's dynamic buffer resize (rasterizer_impl.cu:236-244).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussianeditor_tpu.ops.preprocess import ProcessedGaussians
+
+CHUNK = 128
+FTAB = 16          # combined table width: 6 int fields + up to 10 payload
+KEY_BLK = 2048     # rows per key-kernel grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+class SortedBinning(NamedTuple):
+    """Sorted, block-transposed instance payload + chunk metadata.
+
+    R = instance budget (multiple of CHUNK); NB = R//CHUNK + 1 payload
+    blocks (one zero pad block so qblk+1 is always valid); NC = chunk
+    grid size (R//CHUNK + num_tiles + 1 upper bound on aligned chunks).
+    """
+
+    blocks: jnp.ndarray        # [NB, 16, CHUNK] f32 sorted payload
+    chunk_tile: jnp.ndarray    # [NC] i32 owning tile (dead -> 0)
+    chunk_first: jnp.ndarray   # [NC] i32 1 iff first chunk of its tile
+    chunk_nvalid: jnp.ndarray  # [NC] i32 live instances in chunk
+    chunk_offset: jnp.ndarray  # [NC] i32 instance offset within tile
+    qblk: jnp.ndarray          # [NC] i32 payload block of the chunk's row 0
+    shift: jnp.ndarray         # [NC] i32 lane offset within that block
+    tile_nonempty: jnp.ndarray  # [num_tiles] bool
+    a_by_rank: jnp.ndarray     # [R] i32 aligned position of pre-sort rank
+    b_incl: jnp.ndarray        # [C] i32 inclusive cumsum of tiles_touched
+    sorted_g: jnp.ndarray      # [R] i32 source Gaussian per sorted row
+    num_rendered: jnp.ndarray  # scalar i32
+    overflow: jnp.ndarray      # scalar bool
+
+
+def sorted_capacities(max_instances: int, num_tiles: int):
+    """Static (R, NB, NC) for a budget and tile grid. R rounds to CHUNK
+    only (so small budgets keep their overflow semantics); the key
+    kernel pads to KEY_BLK internally."""
+    R = _round_up(max_instances, CHUNK)
+    NB = R // CHUNK + 1
+    NC = R // CHUNK + num_tiles + 1
+    return R, NB, NC
+
+
+@functools.lru_cache(maxsize=None)
+def _make_key_kernel(R: int, grid_x: int, depth_bits: int):
+    """key + transposed-payload kernel over [KEY_BLK, 16] row blocks."""
+
+    def kernel(tot_ref, rows_ref, key_ref, rt_ref):
+        c = pl.program_id(0)
+        r = rows_ref[...]                          # [KEY_BLK, 16]
+        q = c * KEY_BLK + jax.lax.broadcasted_iota(
+            jnp.int32, (KEY_BLK,), 0)
+        g_bprev = r[:, 0].astype(jnp.int32)
+        g_tt = r[:, 1].astype(jnp.int32)
+        g_rx = r[:, 2].astype(jnp.int32)
+        g_ry = r[:, 3].astype(jnp.int32)
+        rect_w = jnp.maximum(r[:, 4].astype(jnp.int32), 1)
+        g_dkey = r[:, 5].astype(jnp.int32)
+        j = q - g_bprev
+        live = (q < tot_ref[0]) & (j >= 0) & (j < g_tt)
+        # variable-divisor int div is slow on the VPU; floor((j+0.5)/w)
+        # is exact for j < 2^20 (see ops/binning_dense.py proof)
+        jy = jnp.floor((j.astype(jnp.float32) + 0.5)
+                       * (1.0 / rect_w.astype(jnp.float32))).astype(jnp.int32)
+        jx = j - jy * rect_w
+        tile = (g_ry + jy) * grid_x + (g_rx + jx)
+        key = ((tile.astype(jnp.uint32) << depth_bits)
+               | g_dkey.astype(jnp.uint32))
+        key_ref[...] = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
+        rt_ref[...] = r.T                          # [16, KEY_BLK]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // KEY_BLK,),
+        in_specs=[pl.BlockSpec((KEY_BLK, FTAB), lambda c, t: (c, 0))],
+        out_specs=[pl.BlockSpec((KEY_BLK,), lambda c, t: (c,)),
+                   pl.BlockSpec((FTAB, KEY_BLK), lambda c, t: (0, c))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R,), jnp.uint32),
+                   jax.ShapeDtypeStruct((FTAB, R), jnp.float32)],
+        interpret=_interpret(),
+    )
+
+
+def sorted_bin(
+    proc: ProcessedGaussians,
+    grid_x: int,
+    grid_y: int,
+    max_instances: int,
+) -> SortedBinning:
+    """Bin, depth-sort and block-transpose the instance payload.
+
+    All outputs are stop-gradient by construction (int metadata and a
+    payload used only inside the compositor's custom_vjp, whose backward
+    produces per-Gaussian gradients analytically at the b_incl
+    boundaries — the sort never enters autodiff).
+    """
+    num_tiles = grid_x * grid_y
+    C = proc.tiles_touched.shape[0]
+    ch = proc.color.shape[-1]
+    P = 7 + ch
+    assert P <= FTAB - 6, f"channel count {ch} too wide for sorted path"
+    R, NB, NC = sorted_capacities(max_instances, num_tiles)
+
+    tile_bits = max((num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+
+    # --- rank -> source Gaussian: one C-sized scatter + cummax ---
+    tt = proc.tiles_touched
+    b_incl = jnp.cumsum(tt, dtype=jnp.int32)
+    b_prev = b_incl - tt
+    total = b_incl[-1] if C > 0 else jnp.int32(0)
+    first_rank = jnp.where(tt > 0, b_prev, R)
+    mark = jnp.full((R,), -1, jnp.int32).at[first_rank].max(
+        jnp.arange(C, dtype=jnp.int32)
+    )
+    gsrc = jnp.maximum(jax.lax.cummax(mark), 0)
+
+    # --- combined [C+1, 16] table; ints encoded exactly in f32 ---
+    depth = jax.lax.stop_gradient(proc.depth.astype(jnp.float32))
+    dkey32 = (jax.lax.bitcast_convert_type(depth, jnp.uint32)
+              >> (32 - depth_bits)).astype(jnp.int32)
+    stop = jax.lax.stop_gradient
+    cols = [
+        b_prev.astype(jnp.float32),
+        tt.astype(jnp.float32),
+        proc.rect_min[:, 0].astype(jnp.float32),
+        proc.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(proc.rect_max[:, 0] - proc.rect_min[:, 0],
+                    1).astype(jnp.float32),
+        dkey32.astype(jnp.float32),
+        stop(proc.mean2d[:, 0]),
+        stop(proc.mean2d[:, 1]),
+        stop(proc.conic[:, 0]),
+        stop(proc.conic[:, 1]),
+        stop(proc.conic[:, 2]),
+        stop(proc.opacity),
+        depth,
+    ] + [stop(proc.color[:, i]) for i in range(ch)]
+    table = jnp.stack(cols, axis=1)
+    if table.shape[1] < FTAB:
+        table = jnp.pad(table, ((0, 0), (0, FTAB - table.shape[1])))
+    table = jnp.pad(table, ((0, 1), (0, 0)))       # dummy row (tt=0)
+
+    rows_rank = table[jnp.minimum(gsrc, C)]        # [R, 16] monotone
+
+    # key kernel wants a KEY_BLK multiple; pad with dummy rows (tt=0 ->
+    # dead) and slice the outputs back to R
+    Rk = _round_up(R, KEY_BLK)
+    rows_k = (rows_rank if Rk == R
+              else jnp.pad(rows_rank, ((0, Rk - R), (0, 0))))
+    key_call = _make_key_kernel(Rk, grid_x, depth_bits)
+    key, rt = key_call(jnp.asarray([0], jnp.int32) + total, rows_k)
+    if Rk != R:
+        key = key[:R]
+        rt = rt[:, :R]
+
+    # --- the fat sort: key + payload columns + gsrc + rank ---
+    q = jnp.arange(R, dtype=jnp.int32)
+    ops = (key,) + tuple(rt[6 + i] for i in range(P)) + (gsrc, q)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    skey = sorted_ops[0]
+    scols = sorted_ops[1:1 + P]
+    sg = sorted_ops[1 + P]
+    srank = sorted_ops[2 + P]
+    stile = (skey >> depth_bits).astype(jnp.int32)  # invalid -> marker > T
+
+    # --- block-transposed payload [NB, 16, CHUNK] (last block zero) ---
+    nbr = NB * CHUNK - R
+    blocks = jnp.stack(
+        [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in scols]
+        + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P),
+        axis=1,
+    )
+
+    # --- alignment maps: 1-D scans (as ops/binning_dense.py) ---
+    p = jnp.arange(R, dtype=jnp.int32)
+    is_b = jnp.concatenate([jnp.ones((1,), bool), stile[1:] != stile[:-1]])
+    tstart = jax.lax.cummax(jnp.where(is_b, p, -1))
+    off = p - tstart
+    tprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tstart[:-1]])
+    u = jnp.where(is_b & (p > 0), _pad_chunk(p - tprev), 0)
+    astart = jnp.cumsum(u)
+    a = astart + off
+
+    cpos = jnp.arange(NC, dtype=jnp.int32) * CHUNK
+    p0 = jnp.searchsorted(a, cpos, side="left").astype(jnp.int32)
+    p0c = jnp.minimum(p0, R - 1)
+    st0 = stile[p0c]
+    as0 = astart[p0c]
+    ts0 = tstart[p0c]
+    nb_ = jnp.where(is_b, p, R)
+    nxt_incl = jax.lax.cummin(nb_[::-1])[::-1]
+    nxt = jnp.concatenate([nxt_incl[1:], jnp.full((1,), R, jnp.int32)])
+    rlen0 = nxt[p0c] - ts0
+
+    alive_c = (p0 < R) & (as0 <= cpos) & (st0 < num_tiles)
+    offset_c = jnp.where(alive_c, cpos - as0, 0)
+    nvalid_c = jnp.where(alive_c, jnp.clip(rlen0 - offset_c, 0, CHUNK), 0)
+    first_c = (alive_c & (offset_c == 0) & (nvalid_c > 0)).astype(jnp.int32)
+    tile_c = jnp.where(alive_c, jnp.clip(st0, 0, num_tiles - 1), 0)
+
+    tile_nonempty = (
+        jnp.zeros((num_tiles,), jnp.int32)
+        .at[tile_c].max(alive_c.astype(jnp.int32))
+        .astype(bool)
+    )
+
+    # sorted row of the chunk's first lane: ts0 + offset within the tile
+    row0 = jnp.where(alive_c, ts0 + offset_c, 0)
+    qblk = row0 // CHUNK
+    shift = row0 - qblk * CHUNK
+
+    # --- backward map: aligned position of each pre-sort rank ---
+    _, a_by_rank = jax.lax.sort((srank, a), num_keys=1, is_stable=True)
+
+    return SortedBinning(
+        blocks=blocks,
+        chunk_tile=tile_c.astype(jnp.int32),
+        chunk_first=first_c,
+        chunk_nvalid=nvalid_c.astype(jnp.int32),
+        chunk_offset=offset_c.astype(jnp.int32),
+        qblk=qblk.astype(jnp.int32),
+        shift=shift.astype(jnp.int32),
+        tile_nonempty=tile_nonempty,
+        a_by_rank=a_by_rank,
+        b_incl=b_incl,
+        sorted_g=sg,
+        num_rendered=total,
+        overflow=total > R,
+    )
+
+
+def _pad_chunk(x: jnp.ndarray) -> jnp.ndarray:
+    return ((x + CHUNK - 1) // CHUNK) * CHUNK

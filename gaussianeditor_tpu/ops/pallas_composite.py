@@ -385,6 +385,262 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
     )
 
 
+def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
+                        nb: int):
+    """v5 forward: like `make_forward`, but the per-chunk instance data
+    is read straight from the 128-blocked sorted payload (two pipelined
+    block inputs at qblk / qblk+1, realigned with one dynamic lane roll)
+    — no aligned instance matrix exists in HBM."""
+    CH1 = ch + 1
+    F = _pad8(7 + ch)
+
+    def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref,
+               b0_ref, b1_ref, out_ref, done_sc):
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
+
+        @pl.when(cf_ref[c] == 1)
+        def _init():
+            out_ref[0] = jnp.concatenate(
+                [jnp.zeros((PX, CH1), jnp.float32),
+                 jnp.ones((PX, 1), jnp.float32),
+                 jnp.zeros((PX, 1), jnp.float32)],
+                axis=1,
+            )
+            done_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+
+        n_valid = nv_ref[c]
+        not_all_done = jnp.sum(done_sc[:]) < PX
+
+        @pl.when((n_valid > 0) & not_all_done)
+        def _compute():
+            x2 = jnp.concatenate([b0_ref[0], b1_ref[0]], axis=1)
+            buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
+            xs = buf[0:1, :]
+            ys = buf[1:2, :]
+            cxx = buf[2:3, :]
+            cxy = buf[3:4, :]
+            cyy = buf[4:5, :]
+            op = buf[5:6, :]
+
+            T = out_ref[0, :, CH1][:, None]
+            done = done_sc[:]
+
+            dx = xs - pixf_x
+            dy = ys - pixf_y
+            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX,
+                                op * jnp.exp(jnp.minimum(power, 0.0)))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
+
+            lf = jnp.where(skipped, 0.0, jnp.log1p(-alpha))
+            cum = _dot(lf, _tri_incl(), ((1,), (0,)))
+            TP = T * jnp.exp(cum)
+            not_done_px = done < 0.5
+            contributes = not_done_px & (~skipped) & (TP >= T_MIN)
+            crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
+                              keepdims=True)
+            done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
+
+            # exp(cum - lf) == TP / (T (1-alpha)): reuse TP, saving one
+            # [PX, CHUNK] transcendental per chunk
+            w = jnp.where(contributes, alpha * TP / (1.0 - alpha), 0.0)
+            featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
+            acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
+
+            T_new = T * jnp.exp(
+                jnp.sum(jnp.where(contributes, lf, 0.0), axis=-1,
+                        keepdims=True)
+            )
+            pos1 = co_ref[c] + lane + 1
+            nc_new = jnp.max(
+                jnp.where(contributes, pos1, 0).astype(jnp.float32), axis=-1,
+                keepdims=True,
+            )
+            nc_upd = jnp.maximum(out_ref[0, :, CH1 + 1][:, None], nc_new)
+            out_ref[0] = jnp.concatenate([acc_new, T_new, nc_upd], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,  # tile, first, n_valid, offset, qblk, shift
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, F, CHUNK),
+                         lambda c, ct, cf, nv, co, qb, sf: (qb[c], 0, 0)),
+            pl.BlockSpec((1, F, CHUNK),
+                         lambda c, ct, cf, nv, co, qb, sf: (qb[c] + 1, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PX, CH1 + 2),
+                         lambda c, ct, cf, nv, co, qb, sf: (ct[c], 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((PX, 1), jnp.float32)],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, PX, CH1 + 2), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+
+
+def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
+                         nb: int):
+    """v5 backward: forward-order suffix reconstruction as
+    `make_backward`, instance data read via the same two-block dynamic
+    roll as the v5 forward. Gradient rows still land in disjoint
+    chunk-blocked output blocks (deterministic, no atomics)."""
+    CH1 = ch + 1
+    F = _pad8(7 + ch)
+    GF = _pad8(6 + CH1)
+
+    def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref, act_ref,
+               b0_ref, b1_ref, gall_ref, grad_ref, logt_sc, s_sc, stot_sc):
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
+
+        @pl.when(cf_ref[c] == 1)
+        def _init():
+            logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+            s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+            gall0 = gall_ref[0]
+            stot_sc[:] = jnp.sum(
+                gall0[:, :CH1] * gall0[:, CH1:2 * CH1], axis=-1, keepdims=True
+            )
+
+        n_valid = nv_ref[c]
+        grad_ref[0] = jnp.zeros((GF, CHUNK), jnp.float32)
+
+        @pl.when(act_ref[c] == 1)
+        def _compute():
+            x2 = jnp.concatenate([b0_ref[0], b1_ref[0]], axis=1)
+            buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
+            xs = buf[0:1, :]
+            ys = buf[1:2, :]
+            cxx = buf[2:3, :]
+            cxy = buf[3:4, :]
+            cyy = buf[4:5, :]
+            op = buf[5:6, :]
+            featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
+
+            gall = gall_ref[0]
+            g_acc = gall[:, :CH1]
+            gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
+            nc = gall[:, 2 * CH1 + 2][:, None]
+
+            dx = xs - pixf_x
+            dy = ys - pixf_y
+            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+            g_exp = jnp.exp(jnp.minimum(power, 0.0))
+            alpha_raw = op * g_exp
+            alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            pos = (co_ref[c] + lane).astype(jnp.float32)
+            skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
+            m = (~skipped) & (pos < nc)
+
+            lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
+            excl = _dot(lf, _tri_incl(), ((1,), (0,))) - lf
+            total = _dot(lf, jnp.ones((CHUNK, 1), jnp.float32), ((1,), (0,)))
+            T_k = jnp.exp(logt_sc[:] + excl)
+
+            c_hat = _dot(g_acc, featd, ((1,), (0,)))
+            mf = m.astype(jnp.float32)
+            w = mf * alpha * T_k
+            u = w * c_hat
+            # lane reductions ride the MXU (a [PX,CHUNK]x[CHUNK,1] dot):
+            # ~7 shifted VPU adds each otherwise
+            ones_c = jnp.ones((CHUNK, 1), jnp.float32)
+            u_total = _dot(u, ones_c, ((1,), (0,)))
+            S_incl = s_sc[:] + _dot(u, _tri_incl(), ((1,), (0,)))
+            S_at = stot_sc[:] - S_incl
+
+            f = 1.0 - alpha
+            dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
+            cap_gate = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
+            dop = dalpha * g_exp * cap_gate
+            dpower = dalpha * alpha * cap_gate
+
+            gfeat = _dot(g_acc, w, ((0,), (0,)))
+
+            pxv = pixf_x[:, 0]
+            pyv = pixf_y[:, 0]
+            P6 = jnp.stack(
+                [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
+                 pxv * pyv],
+                axis=0,
+            )
+            M = _dot(P6, dpower, ((1,), (0,)))
+            m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
+            sdx = xs * m0 - mx
+            sdy = ys * m0 - my
+            sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
+            sdyy = ys * ys * m0 - 2.0 * ys * my + myy
+            sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
+            dop_row = _dot(jnp.ones((1, PX), jnp.float32), dop,
+                           ((1,), (0,)))
+
+            rows = jnp.concatenate(
+                [
+                    -(cxx * sdx + cxy * sdy),
+                    -(cyy * sdy + cxy * sdx),
+                    -0.5 * sdxx,
+                    -sdxy,
+                    -0.5 * sdyy,
+                    dop_row,
+                    gfeat,
+                ],
+                axis=0,
+            )
+            pad = GF - (6 + CH1)
+            if pad:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad, CHUNK), jnp.float32)], axis=0
+                )
+            grad_ref[0] = rows
+
+            logt_sc[:] = logt_sc[:] + total
+            s_sc[:] = s_sc[:] + u_total
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,  # tile, first, n_valid, offset, qblk, shift, active
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, F, CHUNK),
+                         lambda c, ct, cf, nv, co, qb, sf, a: (qb[c], 0, 0)),
+            pl.BlockSpec((1, F, CHUNK),
+                         lambda c, ct, cf, nv, co, qb, sf, a:
+                         (qb[c] + 1, 0, 0)),
+            pl.BlockSpec((1, PX, 2 * CH1 + 3),
+                         lambda c, ct, cf, nv, co, qb, sf, a: (ct[c], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, GF, CHUNK),
+                         lambda c, ct, cf, nv, co, qb, sf, a: (c, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_chunks, GF, CHUNK),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )
+
+
 class PallasTiles(NamedTuple):
     color: jnp.ndarray     # [n_tiles, PX, ch]
     depth: jnp.ndarray     # [n_tiles, PX]
@@ -610,6 +866,142 @@ def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
         ch_ = ch
         return (d[:, 0:2], d[:, 2:5], d[:, 5], d[:, 6:6 + ch_],
                 d[:, 6 + ch_], None)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+SCAN_BLK = 2048   # rows per prefix-sum grid step (R is a multiple)
+SCAN_SUB = 512    # triangular-matmul tile inside a step
+
+
+@functools.lru_cache(maxsize=None)
+def make_prefix_sum(R: int, GF: int):
+    """Sequential column prefix sum S[i] = sum_{j<=i} (x[j] - mu) over
+    [R, GF], as one Pallas pass: per-block triangular MXU matmuls + a
+    running carry. XLA's cumsum on this shape measures ~0.9 ms at
+    R=524k; this kernel is bandwidth-bound (~0.2 ms)."""
+    assert R % SCAN_BLK == 0
+    nsub = SCAN_BLK // SCAN_SUB
+
+    def kernel(x_ref, mu_ref, out_ref, carry):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _init():
+            carry[...] = jnp.zeros((1, GF), jnp.float32)
+
+        i = jax.lax.broadcasted_iota(jnp.int32, (SCAN_SUB, SCAN_SUB), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (SCAN_SUB, SCAN_SUB), 1)
+        tril = (j <= i).astype(jnp.float32)
+        acc = carry[...]
+        for k in range(nsub):
+            xb = x_ref[k * SCAN_SUB:(k + 1) * SCAN_SUB, :] - mu_ref[...]
+            s = _dot(tril, xb, ((1,), (0,))) + acc
+            out_ref[k * SCAN_SUB:(k + 1) * SCAN_SUB, :] = s
+            acc = s[SCAN_SUB - 1:SCAN_SUB, :]
+        carry[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R // SCAN_BLK,),
+        in_specs=[pl.BlockSpec((SCAN_BLK, GF), lambda c: (c, 0)),
+                  pl.BlockSpec((1, GF), lambda c: (0, 0))],
+        out_specs=pl.BlockSpec((SCAN_BLK, GF), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, GF), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, GF), jnp.float32)],
+        interpret=_interpret(),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
+                                  capacity: int, max_instances: int):
+    """v5 compositor over the fat-sort binning (ops/binning_sorted.py).
+
+    There is no pack stage at all: the kernels read the 128-blocked
+    sorted payload directly (two pipelined block inputs + one dynamic
+    lane roll per chunk). The binning's payload values are stop-grad
+    duplicates of the five differentiable arguments; gradients are
+    produced analytically by the backward's rank-space cumsum-difference
+    at the b_incl boundaries, so the sort never enters autodiff and the
+    caller's `mean2d`/`conic`/`opacity`/`color`/`depth` receive exact
+    cotangents.
+
+    composite(mean2d, conic, opacity, color, depth, sb: SortedBinning)
+    -> PallasTiles.
+    """
+    from gaussianeditor_tpu.ops.binning_sorted import (
+        CHUNK as SCHUNK,
+        sorted_capacities,
+    )
+
+    assert SCHUNK == CHUNK
+    CH1 = ch + 1
+    GF = _pad8(6 + CH1)
+    R, NB, NC = sorted_capacities(max_instances, n_tiles)
+    fwd_call = make_forward_sorted(n_tiles, grid_x, ch, NC, NB)
+    bwd_call = make_backward_sorted(n_tiles, grid_x, ch, NC, NB)
+
+    def run_forward(sb):
+        (out,) = fwd_call(sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid,
+                          sb.chunk_offset, sb.qblk, sb.shift,
+                          sb.blocks, sb.blocks)
+        empty = ~sb.tile_nonempty[:, None]
+        acc = jnp.where(empty[..., None], 0.0, out[..., :CH1])
+        t_fin = jnp.where(empty, 1.0, out[..., CH1])
+        nc = jnp.where(empty, 0.0, out[..., CH1 + 1]).astype(jnp.int32)
+        return PallasTiles(
+            color=acc[..., :ch], depth=acc[..., ch],
+            final_T=t_fin, n_contrib=nc,
+        )
+
+    @jax.custom_vjp
+    def composite(mean2d, conic, opacity, color, depth, sb):
+        del mean2d, conic, opacity, color, depth  # values live in sb.blocks
+        return run_forward(sb)
+
+    def composite_fwd(mean2d, conic, opacity, color, depth, sb):
+        out = run_forward(sb)
+        acc = jnp.concatenate([out.color, out.depth[..., None]], axis=-1)
+        return out, (sb, acc, out.final_T, out.n_contrib)
+
+    def composite_bwd(res, g):
+        sb, acc, t_fin, nc = res
+        gall = jnp.concatenate(
+            [g.color, g.depth[..., None], acc, g.final_T[..., None],
+             t_fin[..., None], nc.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )  # [n_tiles, PX, 2*CH1+3]
+        max_nc = jnp.max(nc, axis=-1)
+        active = ((sb.chunk_nvalid > 0)
+                  & (sb.chunk_offset < max_nc[sb.chunk_tile])).astype(jnp.int32)
+        (grows,) = bwd_call(
+            sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid, sb.chunk_offset,
+            sb.qblk, sb.shift, active, sb.blocks, sb.blocks, gall,
+        )
+        # deterministic rank-space reduction (see the v4 docstring): rows
+        # gathered into pre-sort rank order, mean-centered cumsum +
+        # boundary difference at the analytic b_incl ranges.
+        rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)  # [NC*CHUNK, GF]
+        rows_rank = rows_al[sb.a_by_rank]                    # [R, GF]
+        colmean = jnp.mean(rows_rank, axis=0, keepdims=True)
+        # prefix-sum kernel wants a SCAN_BLK multiple; boundary reads
+        # stop at R, so tail padding (rows == colmean after centering
+        # drift, still only past-R positions) is unobserved
+        Rp = -(-R // SCAN_BLK) * SCAN_BLK
+        rows_p = (rows_rank if Rp == R
+                  else jnp.pad(rows_rank, ((0, Rp - R), (0, 0))))
+        S = make_prefix_sum(Rp, GF)(rows_p, colmean)
+        S = jnp.concatenate([jnp.zeros((1, GF), jnp.float32), S], axis=0)
+        b_hi = jnp.minimum(sb.b_incl, R)
+        b_lo = jnp.minimum(
+            jnp.concatenate([jnp.zeros((1,), sb.b_incl.dtype),
+                             sb.b_incl[:-1]]), R)
+        d = (S[b_hi] - S[b_lo]
+             + colmean * (b_hi - b_lo)[:, None].astype(jnp.float32))
+        return (d[:, 0:2], d[:, 2:5], d[:, 5], d[:, 6:6 + ch],
+                d[:, 6 + ch], None)
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite

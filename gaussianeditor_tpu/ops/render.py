@@ -153,7 +153,26 @@ def render(
     grid_y = (H + TILE - 1) // TILE
     if max_instances is None:
         max_instances = default_max_instances(scene.capacity)
+    ch = proc.color.shape[-1]
+    if impl == "pallas" and ch > 3:
+        impl = "pallas4"  # sorted payload table caps at 7+ch <= 16 columns
     if impl == "pallas":
+        from gaussianeditor_tpu.ops.binning_sorted import sorted_bin
+        from gaussianeditor_tpu.ops.pallas_composite import (
+            make_pallas_compositor_sorted,
+        )
+
+        num_tiles = grid_x * grid_y
+        sb = sorted_bin(proc, grid_x, grid_y, max_instances)
+        compositor = make_pallas_compositor_sorted(
+            num_tiles, grid_x, ch, scene.capacity, max_instances
+        )
+        tiles = compositor(
+            proc.mean2d, proc.conic, proc.opacity, proc.color, proc.depth, sb
+        )
+        num_rendered = sb.num_rendered
+        overflow = sb.overflow
+    elif impl == "pallas4":
         from gaussianeditor_tpu.ops.binning_dense import dense_bin
         from gaussianeditor_tpu.ops.pallas_composite import (
             make_pallas_compositor_dense,
@@ -161,7 +180,6 @@ def render(
 
         num_tiles = grid_x * grid_y
         db = dense_bin(proc, grid_x, grid_y, max_instances)
-        ch = proc.color.shape[-1]
         compositor = make_pallas_compositor_dense(
             num_tiles, grid_x, ch, scene.capacity, max_instances
         )
