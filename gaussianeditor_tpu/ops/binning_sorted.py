@@ -102,8 +102,10 @@ def sorted_capacities(max_instances: int, num_tiles: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_key_kernel(R: int, grid_x: int, depth_bits: int):
-    """key + transposed-payload kernel over [KEY_BLK, 16] row blocks."""
+def _make_key_kernel(R: int, grid_x: int, depth_bits: int, P: int):
+    """key + transposed-payload kernel over [KEY_BLK, 16] row blocks.
+    Emits only the P payload rows transposed (cols 6..6+P), not the six
+    key-building int fields."""
 
     def kernel(tot_ref, rows_ref, key_ref, rt_ref):
         c = pl.program_id(0)
@@ -127,20 +129,20 @@ def _make_key_kernel(R: int, grid_x: int, depth_bits: int):
         key = ((tile.astype(jnp.uint32) << depth_bits)
                | g_dkey.astype(jnp.uint32))
         key_ref[...] = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
-        rt_ref[...] = r.T                          # [16, KEY_BLK]
+        rt_ref[...] = r[:, 6:6 + P].T              # [P, KEY_BLK]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // KEY_BLK,),
         in_specs=[pl.BlockSpec((KEY_BLK, FTAB), lambda c, t: (c, 0))],
         out_specs=[pl.BlockSpec((KEY_BLK,), lambda c, t: (c,)),
-                   pl.BlockSpec((FTAB, KEY_BLK), lambda c, t: (0, c))],
+                   pl.BlockSpec((P, KEY_BLK), lambda c, t: (0, c))],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R,), jnp.uint32),
-                   jax.ShapeDtypeStruct((FTAB, R), jnp.float32)],
+                   jax.ShapeDtypeStruct((P, R), jnp.float32)],
         interpret=_interpret(),
     )
 
@@ -212,7 +214,7 @@ def sorted_bin(
     Rk = _round_up(R, KEY_BLK)
     rows_k = (rows_rank if Rk == R
               else jnp.pad(rows_rank, ((0, Rk - R), (0, 0))))
-    key_call = _make_key_kernel(Rk, grid_x, depth_bits)
+    key_call = _make_key_kernel(Rk, grid_x, depth_bits, P)
     key, rt = key_call(jnp.asarray([0], jnp.int32) + total, rows_k)
     if Rk != R:
         key = key[:R]
@@ -220,7 +222,7 @@ def sorted_bin(
 
     # --- the fat sort: key + payload columns + gsrc + rank ---
     q = jnp.arange(R, dtype=jnp.int32)
-    ops = (key,) + tuple(rt[6 + i] for i in range(P)) + (gsrc, q)
+    ops = (key,) + tuple(rt[i] for i in range(P)) + (gsrc, q)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     skey = sorted_ops[0]
     scols = sorted_ops[1:1 + P]

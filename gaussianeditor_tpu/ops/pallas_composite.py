@@ -871,49 +871,6 @@ def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
     return composite
 
 
-SCAN_BLK = 2048   # rows per prefix-sum grid step (R is a multiple)
-SCAN_SUB = 512    # triangular-matmul tile inside a step
-
-
-@functools.lru_cache(maxsize=None)
-def make_prefix_sum(R: int, GF: int):
-    """Sequential column prefix sum S[i] = sum_{j<=i} (x[j] - mu) over
-    [R, GF], as one Pallas pass: per-block triangular MXU matmuls + a
-    running carry. XLA's cumsum on this shape measures ~0.9 ms at
-    R=524k; this kernel is bandwidth-bound (~0.2 ms)."""
-    assert R % SCAN_BLK == 0
-    nsub = SCAN_BLK // SCAN_SUB
-
-    def kernel(x_ref, mu_ref, out_ref, carry):
-        c = pl.program_id(0)
-
-        @pl.when(c == 0)
-        def _init():
-            carry[...] = jnp.zeros((1, GF), jnp.float32)
-
-        i = jax.lax.broadcasted_iota(jnp.int32, (SCAN_SUB, SCAN_SUB), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (SCAN_SUB, SCAN_SUB), 1)
-        tril = (j <= i).astype(jnp.float32)
-        acc = carry[...]
-        for k in range(nsub):
-            xb = x_ref[k * SCAN_SUB:(k + 1) * SCAN_SUB, :] - mu_ref[...]
-            s = _dot(tril, xb, ((1,), (0,))) + acc
-            out_ref[k * SCAN_SUB:(k + 1) * SCAN_SUB, :] = s
-            acc = s[SCAN_SUB - 1:SCAN_SUB, :]
-        carry[...] = acc
-
-    return pl.pallas_call(
-        kernel,
-        grid=(R // SCAN_BLK,),
-        in_specs=[pl.BlockSpec((SCAN_BLK, GF), lambda c: (c, 0)),
-                  pl.BlockSpec((1, GF), lambda c: (0, 0))],
-        out_specs=pl.BlockSpec((SCAN_BLK, GF), lambda c: (c, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, GF), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, GF), jnp.float32)],
-        interpret=_interpret(),
-    )
-
-
 @functools.lru_cache(maxsize=None)
 def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
                                   capacity: int, max_instances: int):
@@ -986,13 +943,10 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)  # [NC*CHUNK, GF]
         rows_rank = rows_al[sb.a_by_rank]                    # [R, GF]
         colmean = jnp.mean(rows_rank, axis=0, keepdims=True)
-        # prefix-sum kernel wants a SCAN_BLK multiple; boundary reads
-        # stop at R, so tail padding (rows == colmean after centering
-        # drift, still only past-R positions) is unobserved
-        Rp = -(-R // SCAN_BLK) * SCAN_BLK
-        rows_p = (rows_rank if Rp == R
-                  else jnp.pad(rows_rank, ((0, Rp - R), (0, 0))))
-        S = make_prefix_sum(Rp, GF)(rows_p, colmean)
+        # XLA's cumsum measures 0.87 ms here; a Pallas triangular-matmul
+        # scan was tried and measured 2.7 ms (16-lane blocks starve the
+        # MXU) — bench/prof_r12.py
+        S = jnp.cumsum(rows_rank - colmean, axis=0, dtype=jnp.float32)
         S = jnp.concatenate([jnp.zeros((1, GF), jnp.float32), S], axis=0)
         b_hi = jnp.minimum(sb.b_incl, R)
         b_lo = jnp.minimum(
