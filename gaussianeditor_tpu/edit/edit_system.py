@@ -335,6 +335,7 @@ class EditSystem:
         if self.state is None:
             self.on_fit_start()
         n = n_steps if n_steps is not None else self.cfg.max_steps
+        overflow_any = None
         for _ in range(n):
             if should_stop is not None and should_stop():
                 break
@@ -377,5 +378,18 @@ class EditSystem:
                 metrics = {**metrics, **dinfo}
             if callback is not None:
                 callback(step, metrics)
+            if "overflow" in metrics:
+                # device-side accumulate; ONE host sync after the loop
+                # (a per-step device_get would serialize dispatch)
+                overflow_any = (metrics["overflow"] if overflow_any is None
+                                else overflow_any | metrics["overflow"])
+        if overflow_any is not None and bool(jax.device_get(overflow_any)):
+            import warnings
+
+            warnings.warn(
+                "render instance budget overflowed during training — "
+                "splats were dropped on at least one step; rebuild the "
+                "system with a larger max_instances"
+            )
         self.scene = self.state.scene
         return self.state

@@ -127,6 +127,7 @@ def preprocess(
     scale_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,
     mean2d_offset_ndc: Optional[jnp.ndarray] = None,
+    tile_row_range=None,
 ) -> ProcessedGaussians:
     """Project all Gaussians into `camera`.
 
@@ -242,6 +243,13 @@ def preprocess(
     rmaxy = jnp.clip(
         ((mys + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
     )
+    if tile_row_range is not None:
+        # tile-sharded strip render (docs/tile_sharding.md): keep only
+        # tile rows [ty0, ty1) and emit STRIP-LOCAL rect coordinates.
+        # ty0/ty1 may be traced (per-shard values under shard_map).
+        ty0, ty1 = tile_row_range
+        rminy = jnp.clip(rminy, ty0, ty1) - ty0
+        rmaxy = jnp.clip(rmaxy, ty0, ty1) - ty0
     tiles = (rmaxx - rminx) * (rmaxy - rminy)
 
     visible = in_frustum & det_valid & (tiles > 0)

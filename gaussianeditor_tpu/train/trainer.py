@@ -136,6 +136,7 @@ def make_train_step(
             # small and static (reference default 2)
             radii_max = jnp.zeros((C,), jnp.int32)
             vis_any = jnp.zeros((C,), bool)
+            ovf = jnp.asarray(False)
             l1s, lps, injs = [], [], []
             for b in range(B):
                 cam = jax.tree_util.tree_map(lambda x: x[b], cam_batch)
@@ -154,6 +155,7 @@ def make_train_step(
                     ))
                 radii_max = jnp.maximum(radii_max, out.radii)
                 vis_any = vis_any | out.visible
+                ovf = ovf | out.overflow
 
             loss_l1 = jnp.mean(jnp.stack(l1s))
             loss_p = (jnp.mean(jnp.stack(lps))
@@ -176,6 +178,11 @@ def make_train_step(
                 "loss_l1": loss_l1,
                 "loss_p": jnp.asarray(loss_p),
                 "loss_inject": loss_inject,
+                # instance-budget overflow surfaced per step: the jitted
+                # step cannot re-render at doubled capacity (static
+                # shapes), so callers watch this and rebuild with a
+                # bigger max_instances (see ops/render.render_safe)
+                "overflow": ovf,
                 **anchors,
             }
             return total, (metrics, radii_max, vis_any)

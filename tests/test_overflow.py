@@ -129,3 +129,32 @@ class TestApplyWeightsOverflow:
                                   chunk=32)
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+class TestTrainStepOverflowMetric:
+    def test_train_step_surfaces_overflow(self):
+        """The jitted train step cannot re-render at higher capacity
+        (static shapes), so it must surface `overflow` in its metrics
+        for the host loop to act on (ops/render.py policy note)."""
+        from gaussianeditor_tpu.core.cameras import orbit_cameras
+        from gaussianeditor_tpu.train.optim import GaussianAdam, OptimConfig
+        from gaussianeditor_tpu.train.trainer import (
+            LossWeights, init_train_state, make_train_step, stack_cameras,
+        )
+
+        scene = random_scene(150, seed=11)
+        cams = orbit_cameras(2, 4.0, 0.8, 0.8, 48, 48)
+        cam_batch = stack_cameras(cams)
+        targets = jnp.zeros((2, 48, 48, 3), jnp.float32)
+        optim = GaussianAdam(config=OptimConfig())
+        state = init_train_state(scene, optim)
+
+        step_small = make_train_step(optim, LossWeights(), impl="pallas",
+                                     max_instances=128)
+        _, metrics = step_small(state, cam_batch, targets)
+        assert bool(jax.device_get(metrics["overflow"]))
+
+        step_big = make_train_step(optim, LossWeights(), impl="pallas",
+                                   max_instances=8192)
+        _, metrics = step_big(state, cam_batch, targets)
+        assert not bool(jax.device_get(metrics["overflow"]))
