@@ -24,6 +24,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -85,6 +86,45 @@ def build_inpainter(name: str):
     raise ValueError(f"unknown inpainter '{name}'")
 
 
+def _snapshot_code(trial_dir: str) -> None:
+    """Zip the tracked source into <trial>/code.zip — the reference's
+    CodeSnapshotCallback (threestudio/utils/callbacks.py:59-80) writes a
+    git-ls-files copy; we archive the installed package sources, which
+    also works outside a git checkout."""
+    import zipfile
+
+    try:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(trial_dir, "code.zip")
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _, files in os.walk(pkg_root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, pkg_root))
+    except Exception as e:  # snapshot is best-effort provenance
+        import warnings
+
+        warnings.warn(f"code snapshot failed: {e}")
+
+
+class ProgressWriter:
+    """File-based progress reporting (the reference's ProgressCallback
+    for gradio, utils/callbacks.py:118-156): writes `step/total pct%` to
+    <trial>/progress every `interval` steps."""
+
+    def __init__(self, trial_dir: str, total: int, interval: int = 10):
+        self.path = os.path.join(trial_dir, "progress")
+        self.total = max(int(total), 1)
+        self.interval = max(int(interval), 1)
+
+    def __call__(self, step: int, metrics: dict) -> None:
+        if step % self.interval == 0 or step + 1 == self.total:
+            with open(self.path, "w") as f:
+                f.write(f"{step}/{self.total} "
+                        f"{100.0 * step / self.total:.1f}%\n")
+
+
 class MetricsLogger:
     """CSV-style JSON-lines logger (the reference's CSVLogger role)."""
 
@@ -126,6 +166,11 @@ def main(argv=None) -> None:
         import yaml
 
         yaml.safe_dump(cfg, f)
+    # provenance: cmd.txt + code snapshot (launch.py:170-175 cmd dump,
+    # CodeSnapshotCallback git-ls-files snapshot, utils/callbacks.py:59-80)
+    with open(os.path.join(trial_dir, "cmd.txt"), "w") as f:
+        f.write(" ".join(sys.argv) + "\n")
+    _snapshot_code(trial_dir)
 
     from gaussianeditor_tpu.data.camera_scene import CamScene
     from gaussianeditor_tpu.models.gaussians import GaussianScene
@@ -210,7 +255,13 @@ def main(argv=None) -> None:
         raise ValueError(f"unknown mode '{mode}'")
 
     if args.train and mode in ("edit", "del"):
-        system.fit(callback=logger)
+        progress = ProgressWriter(trial_dir, system.cfg.max_steps)
+
+        def _cb(step, metrics):
+            logger(step, metrics)
+            progress(step, metrics)
+
+        system.fit(callback=_cb)
     elif args.train and mode == "add" and system.cfg.refine_steps > 0:
         from gaussianeditor_tpu.guidance.fake import FakeGuidance
 

@@ -304,9 +304,10 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
 
             f = 1.0 - alpha
             dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
-            cap_gate = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
-            dop = dalpha * g_exp * cap_gate
-            dpower = dalpha * alpha * cap_gate
+            # fold the alpha-cap gradient gate into one multiply
+            dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
+            dop = dac * g_exp
+            dpower = dac * alpha
 
             w = mf * alpha * T_k
             gfeat = _dot(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
@@ -415,7 +416,10 @@ def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
         @pl.when((n_valid > 0) & not_all_done)
         def _compute():
-            x2 = jnp.concatenate([b0_ref[0], b1_ref[0]], axis=1)
+            # roll only the 7+ch live payload rows (the tail rows of the
+            # 16-row block are zero padding)
+            x2 = jnp.concatenate(
+                [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
             buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
             xs = buf[0:1, :]
             ys = buf[1:2, :]
@@ -519,7 +523,8 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
         @pl.when(act_ref[c] == 1)
         def _compute():
-            x2 = jnp.concatenate([b0_ref[0], b1_ref[0]], axis=1)
+            x2 = jnp.concatenate(
+                [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
             buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
             xs = buf[0:1, :]
             ys = buf[1:2, :]
@@ -564,9 +569,10 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
             f = 1.0 - alpha
             dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
-            cap_gate = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
-            dop = dalpha * g_exp * cap_gate
-            dpower = dalpha * alpha * cap_gate
+            # fold the alpha-cap gradient gate into one multiply
+            dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
+            dop = dac * g_exp
+            dpower = dac * alpha
 
             gfeat = _dot(g_acc, w, ((0,), (0,)))
 
