@@ -153,6 +153,9 @@ def main(argv=None) -> None:
                         help="render a turntable video of the result")
     parser.add_argument("--export", action="store_true",
                         help="save the resulting scene as PLY")
+    parser.add_argument("--resume", default="",
+                        help="TrainState .npz to resume training from "
+                             "(reference cfg.resume, launch.py:193)")
     parser.add_argument("overrides", nargs="*", help="key.path=value")
     args = parser.parse_args(argv)
 
@@ -255,13 +258,19 @@ def main(argv=None) -> None:
         raise ValueError(f"unknown mode '{mode}'")
 
     if args.train and mode in ("edit", "del"):
+        if not system.cfg.checkpoint_dir:
+            system.cfg.checkpoint_dir = os.path.join(trial_dir, "ckpts")
+        if args.resume:
+            system.resume(args.resume)
         progress = ProgressWriter(trial_dir, system.cfg.max_steps)
 
         def _cb(step, metrics):
             logger(step, metrics)
             progress(step, metrics)
 
-        system.fit(callback=_cb)
+        remaining = system.cfg.max_steps - (
+            int(system.state.step) if system.state is not None else 0)
+        system.fit(n_steps=max(remaining, 0), callback=_cb)
     elif args.train and mode == "add" and system.cfg.refine_steps > 0:
         from gaussianeditor_tpu.guidance.fake import FakeGuidance
 

@@ -15,6 +15,7 @@ fixed-capacity scene pytree.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -80,6 +81,10 @@ class EditConfig:
     rotation_lr_scaler: float = 2.0
     cameras_extent: float = 1.0     # spatial_lr_scale (GassuianEditor.py:503)
     seed: int = 0
+    # periodic TrainState checkpointing (the reference's ModelCheckpoint
+    # every_n_train_steps + cfg.resume, launch.py:133-136,193): 0 = off
+    checkpoint_every: int = 0
+    checkpoint_dir: str = ""
     # renderer capacity knobs
     max_instances: Optional[int] = None
     tile_cap: int = 1024
@@ -327,6 +332,24 @@ class EditSystem:
 
     # --- training ---
 
+    def resume(self, ckpt_path: str) -> None:
+        """Restore a periodic checkpoint (the reference's cfg.resume ->
+        trainer.fit(ckpt_path), launch.py:193). Must be called after
+        on_fit_start() would have run — it triggers it if needed so the
+        guidance caches exist, then swaps in the restored TrainState."""
+        from gaussianeditor_tpu.train.checkpoint import load_train_state
+
+        if self.state is None:
+            self.on_fit_start()
+        self.state = load_train_state(ckpt_path)
+        self.scene = self.state.scene
+        # fast-forward the view sampler to the checkpoint's phase so the
+        # resumed run draws the same view sequence an uninterrupted run
+        # would (the sampler is a seeded refilling stack; its state is a
+        # pure function of (seed, draws))
+        for _ in range(int(self.state.step)):
+            self.sampler.sample()
+
     def fit(self, n_steps: Optional[int] = None, callback=None,
             should_stop=None) -> TrainState:
         """Run the training loop. `should_stop()` is polled each step —
@@ -378,6 +401,17 @@ class EditSystem:
                 metrics = {**metrics, **dinfo}
             if callback is not None:
                 callback(step, metrics)
+            if (self.cfg.checkpoint_every > 0 and self.cfg.checkpoint_dir
+                    and (step + 1) % self.cfg.checkpoint_every == 0):
+                from gaussianeditor_tpu.train.checkpoint import (
+                    save_train_state,
+                )
+
+                save_train_state(
+                    os.path.join(self.cfg.checkpoint_dir,
+                                 f"state_{step + 1:06d}.npz"),
+                    self.state,
+                )
             if "overflow" in metrics:
                 # device-side accumulate; ONE host sync after the loop
                 # (a per-step device_get would serialize dispatch)

@@ -245,3 +245,46 @@ class TestAddSystem:
         got = sys_.state.scene.params
         np.testing.assert_allclose(got.xyz[:30], merged.params.xyz[:30])
         assert float(jnp.abs(got.xyz[30:] - merged.params.xyz[30:]).max()) > 0
+
+
+class TestCheckpointResume:
+    def test_periodic_checkpoint_and_resume(self, tmp_path):
+        """checkpoint_every writes TrainState snapshots; resume()
+        restores one and continues to the same final state as an
+        uninterrupted run (the reference's ModelCheckpoint + cfg.resume
+        flow, launch.py:133-136,193)."""
+        scene = random_scene(60, seed=9)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 48, 48)
+
+        def mk(ckpt_dir=""):
+            cfg = EditConfig(
+                prompt="p", batch_size=2, max_steps=12, per_editing_step=6,
+                densification_interval=100, edit_until_step=12,
+                cameras_extent=2.0, max_instances=8192, tile_cap=512,
+                chunk=64, checkpoint_every=6 if ckpt_dir else 0,
+                checkpoint_dir=ckpt_dir,
+            )
+            return EditSystem(scene, cams, cfg, guidance=FakeGuidance(),
+                              perceptual=None)
+
+        ref = mk()
+        ref.fit(n_steps=12)
+
+        a = mk(str(tmp_path))
+        a.fit(n_steps=6)
+        ckpt = tmp_path / "state_000006.npz"
+        assert ckpt.exists()
+
+        b = mk()
+        b.resume(str(ckpt))
+        assert int(b.state.step) == 6
+        b.fit(n_steps=6)
+        assert int(b.state.step) == 12
+        # deterministic pipeline + restored optimizer/stats state ->
+        # the resumed run reproduces the uninterrupted trajectory.
+        # (ViewSampler state is re-seeded per system; steps 6-11 draw the
+        # same views in both runs because sampling is a pure function of
+        # (seed, step) for full-view sampling with n=4, batch=2.)
+        np.testing.assert_allclose(
+            np.asarray(b.state.scene.params.xyz),
+            np.asarray(ref.state.scene.params.xyz), atol=1e-6)
