@@ -85,6 +85,12 @@ class EditConfig:
     # every_n_train_steps + cfg.resume, launch.py:133-136,193): 0 = off
     checkpoint_every: int = 0
     checkpoint_dir: str = ""
+    # overlap host-side diffusion target refreshes with device training
+    # (the reference runs them serially and names diffusion the dominant
+    # edit cost, docs/hyperparameter.md). When on, a refresh becomes
+    # visible one interval late (bounded staleness); the FIRST target for
+    # a view is always generated synchronously.
+    async_guidance: bool = False
     # renderer capacity knobs
     max_instances: Optional[int] = None
     tile_cap: int = 1024
@@ -206,6 +212,8 @@ class EditSystem:
                                    max_view_num=config.max_view_num)
         self.origin_frames: Dict[int, np.ndarray] = {}
         self.edit_frames: Dict[int, np.ndarray] = {}
+        self._pending_targets: Dict[int, object] = {}
+        self._guidance_pool = None
         self.state: Optional[TrainState] = None
         self.key = jax.random.key(config.seed)
         self._render_cache = jax.jit(
@@ -278,6 +286,16 @@ class EditSystem:
 
     # --- per-step target refresh (GassuianEditorEdit.py:76-99) ---
 
+    def _drain_guidance_futures(self) -> None:
+        for vid, fut in list(self._pending_targets.items()):
+            if fut.done():
+                self.edit_frames[vid] = fut.result()
+                del self._pending_targets[vid]
+
+    def _gen_target(self, current: np.ndarray, origin: np.ndarray):
+        out = self.guidance(current, origin, self.cfg.prompt)
+        return np.asarray(out.edit_image, np.float32)
+
     def _refresh_targets(self, view_ids: List[int], step: int) -> None:
         if self.guidance is None:
             # score-distillation-only training: targets fall back to the
@@ -285,6 +303,8 @@ class EditSystem:
             for vid in view_ids:
                 self.edit_frames.setdefault(vid, self.origin_frames[vid])
             return
+        if self.cfg.async_guidance:
+            self._drain_guidance_futures()
         for vid in view_ids:
             stale = (
                 vid not in self.edit_frames
@@ -293,14 +313,30 @@ class EditSystem:
                     < self.cfg.edit_until_step
                     and step % self.cfg.per_editing_step == 0)
             )
-            if stale:
-                current = np.asarray(
-                    self._render_cache(self.state.scene, self.cameras[vid])
+            if not stale:
+                continue
+            current = np.asarray(
+                self._render_cache(self.state.scene, self.cameras[vid])
+            )
+            if self.cfg.async_guidance and vid in self.edit_frames:
+                # refresh in the background; train on the previous target
+                # until it lands (one worker serializes guidance calls —
+                # the torch pipelines are not reentrant)
+                if vid not in self._pending_targets:
+                    if self._guidance_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        self._guidance_pool = ThreadPoolExecutor(
+                            max_workers=1,
+                            thread_name_prefix="guidance",
+                        )
+                    self._pending_targets[vid] = self._guidance_pool.submit(
+                        self._gen_target, current, self.origin_frames[vid]
+                    )
+            else:
+                self.edit_frames[vid] = self._gen_target(
+                    current, self.origin_frames[vid]
                 )
-                out = self.guidance(
-                    current, self.origin_frames[vid], self.cfg.prompt
-                )
-                self.edit_frames[vid] = np.asarray(out.edit_image, np.float32)
 
     def _score_inject(self, view_ids: List[int], step: int) -> jnp.ndarray:
         """Host-side SDS/DDS image gradients for the batch, weighted by

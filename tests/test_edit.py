@@ -288,3 +288,42 @@ class TestCheckpointResume:
         np.testing.assert_allclose(
             np.asarray(b.state.scene.params.xyz),
             np.asarray(ref.state.scene.params.xyz), atol=1e-6)
+
+
+class TestAsyncGuidance:
+    def test_async_refresh_overlaps_training(self):
+        """async_guidance=True refreshes edited targets on a worker
+        thread while training continues on the stale target (bounded
+        staleness); the refreshed frames must land and the loop stays
+        finite."""
+        import threading
+        import time as _time
+
+        main_thread = threading.get_ident()
+        call_threads = []
+
+        class SlowGuidance(FakeGuidance):
+            def __call__(self, render, origin, prompt, **kw):
+                call_threads.append(threading.get_ident())
+                _time.sleep(0.05)
+                return super().__call__(render, origin, prompt, **kw)
+
+        scene = random_scene(50, seed=13)
+        cams = orbit_cameras(3, 4.0, 0.8, 0.8, 48, 48)
+        cfg = EditConfig(
+            prompt="p", batch_size=1, max_steps=12, per_editing_step=3,
+            densification_interval=100, edit_until_step=12,
+            cameras_extent=2.0, max_instances=8192, tile_cap=512, chunk=64,
+            async_guidance=True,
+        )
+        sys_ = EditSystem(scene, cams, cfg, guidance=SlowGuidance(),
+                          perceptual=None)
+        losses = []
+        sys_.fit(callback=lambda s, m: losses.append(float(m["loss"])))
+        assert np.isfinite(losses).all()
+        # first-touch generations run on the main thread; refreshes on
+        # the worker thread
+        assert main_thread in call_threads
+        assert any(t != main_thread for t in call_threads)
+        # a background refresh actually landed
+        assert len(sys_._pending_targets) < len(call_threads)
