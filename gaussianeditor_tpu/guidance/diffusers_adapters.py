@@ -58,28 +58,47 @@ class InstructPix2PixGuidance:
         min_step_percent: float = 0.02,
         max_step_percent: float = 0.98,
         device: str = "cuda",
+        pipe=None,
     ):
+        self.guidance_scale = guidance_scale
+        self.image_guidance_scale = image_guidance_scale
+        self.diffusion_steps = diffusion_steps
+        self.min_step_percent = min_step_percent
+        self.max_step_percent = max_step_percent
+        self.device = device
+        if pipe is not None:
+            # dependency injection: lets the latent/CFG plumbing be
+            # exercised with a mock pipe where no checkpoints exist
+            # (tests/test_adapter_plumbing.py)
+            import torch
+
+            self.torch = torch
+            self.pipe = pipe
+            self.num_train_timesteps = int(
+                pipe.scheduler.config.num_train_timesteps
+            )
+            return
         _require_diffusers()
         import torch
         from diffusers import DDIMScheduler, StableDiffusionInstructPix2PixPipeline
 
         self.torch = torch
-        self.device = device
         self.pipe = StableDiffusionInstructPix2PixPipeline.from_pretrained(
             model_id, torch_dtype=torch.float16
         ).to(device)
         self.pipe.scheduler = DDIMScheduler.from_config(
             self.pipe.scheduler.config
         )
-        self.guidance_scale = guidance_scale
-        self.image_guidance_scale = image_guidance_scale
-        self.diffusion_steps = diffusion_steps
-        self.min_step_percent = min_step_percent
-        self.max_step_percent = max_step_percent
+        self.num_train_timesteps = int(
+            self.pipe.scheduler.config.num_train_timesteps
+        )
 
     def __call__(self, rgb, cond_rgb, prompt: str) -> GuidanceOutput:
         torch = self.torch
-        num_train = self.pipe.scheduler.config.num_train_timesteps
+        # sample t against the TRUE training range captured at init: the
+        # per-call num_train_timesteps override below must not leak into
+        # the next call's range (caught by tests/test_adapter_plumbing.py)
+        num_train = self.num_train_timesteps
         min_t = int(num_train * self.min_step_percent)
         max_t = int(num_train * self.max_step_percent)
         t = int(torch.randint(min_t, max_t + 1, (1,)).item())
@@ -99,8 +118,11 @@ class InstructPix2PixGuidance:
             text_emb = self.pipe._encode_prompt(
                 prompt, self.device, 1, True, ""
             )
-            self.pipe.scheduler.set_timesteps(self.diffusion_steps)
+            # DDIM from the SAMPLED noise level, not from t=num_train:
+            # override BEFORE set_timesteps so timesteps = linspace(t-1,0)
+            # (instructpix2pix_guidance.py:171-178), and restore after
             self.pipe.scheduler.config.num_train_timesteps = t
+            self.pipe.scheduler.set_timesteps(self.diffusion_steps)
             noise = torch.randn_like(latents)
             latents = self.pipe.scheduler.add_noise(
                 latents, noise, self.pipe.scheduler.timesteps[0:1]
@@ -127,6 +149,7 @@ class InstructPix2PixGuidance:
             img = self.pipe.vae.decode(
                 latents / self.pipe.vae.config.scaling_factor
             ).sample
+            self.pipe.scheduler.config.num_train_timesteps = num_train
         out = ((img / 2 + 0.5).clamp(0, 1)[0].permute(1, 2, 0)
                .float().cpu().numpy())
         return GuidanceOutput(edit_image=out)
@@ -143,7 +166,7 @@ class InstructPix2PixGuidance:
         Returns (g_image [H, W, 3] float32 numpy, info dict)."""
         torch = self.torch
         sched = self.pipe.scheduler
-        num_train = sched.config.num_train_timesteps
+        num_train = self.num_train_timesteps
         min_t = int(num_train * self.min_step_percent)
         max_t = int(num_train * self.max_step_percent)
         t = torch.randint(min_t, max_t + 1, (1,), device=self.device)
@@ -208,7 +231,14 @@ class ControlNetGuidance:
 
     def __init__(self, control_type: str = "p2p",
                  guidance_scale: float = 7.5, diffusion_steps: int = 20,
-                 device: str = "cuda"):
+                 device: str = "cuda", pipe=None):
+        if pipe is not None:
+            self.pipe = pipe
+            self.control_type = control_type
+            self.guidance_scale = guidance_scale
+            self.diffusion_steps = diffusion_steps
+            self.device = device
+            return
         _require_diffusers()
         import torch
         from diffusers import (
@@ -260,7 +290,15 @@ class ControlNetInpainter:
     """Per-view hole inpainting for Delete (GassuianEditorDel.py:68-129)."""
 
     def __init__(self, diffusion_steps: int = 20, seed: int = 0,
-                 device: str = "cuda"):
+                 device: str = "cuda", pipe=None):
+        if pipe is not None:
+            import torch
+
+            self.pipe = pipe
+            self.steps = diffusion_steps
+            self.seed = seed
+            self.torch = torch
+            return
         _require_diffusers()
         import torch
         from diffusers import ControlNetModel, StableDiffusionControlNetInpaintPipeline
