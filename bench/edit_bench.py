@@ -49,7 +49,8 @@ def main() -> None:
     targets = jnp.asarray(rng.rand(batch, hw, hw, 3).astype(np.float32))
 
     optim = GaussianAdam(config=OptimConfig())
-    step = make_train_step(optim, LossWeights(), max_instances=524_288)
+    # budget sized to the scene as in bench.py (num_rendered ~361k/view)
+    step = make_train_step(optim, LossWeights(), max_instances=393_216)
     state = init_train_state(scene, optim)
 
     n_iter = 10

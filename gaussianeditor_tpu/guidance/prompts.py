@@ -160,3 +160,64 @@ def perp_neg_combine(e_pos: np.ndarray, e_uncond: np.ndarray,
             np.asarray(e_neg) - e_uncond, d_pos
         )
     return accum
+
+
+def get_debiased_prompts(prompt: str, view_probe,
+                         n_views: int = 4,
+                         mask_ids: Optional[Sequence[int]] = None
+                         ) -> List[str]:
+    """BERT-style prompt debiasing (prompt_processors/base.py:443-501):
+    for each candidate word, drop it and re-probe the view-word
+    distribution; if the pointwise mutual information
+    `full / lerp(part, full, 0.5)` for a view falls below 0.95, that
+    word is removed from THAT view's prompt (it was biasing the view).
+
+    `view_probe(text) -> array [n_views]` is the masked-LM probability
+    of each view word in "This image is depicting a [MASK] view of
+    {text}" (see `BertViewProbe`); injecting it keeps this logic
+    hermetically testable without BERT weights."""
+    words = prompt.split(" ")
+    prompts = [list(words) for _ in range(n_views)]
+    full = np.asarray(view_probe(prompt), np.float64)
+    ids = list(mask_ids) if mask_ids is not None else range(len(words))
+    for idx in ids:
+        part_prompt = " ".join(words[:idx] + words[idx + 1:])
+        part = np.asarray(view_probe(part_prompt), np.float64)
+        pmi = full / (0.5 * (part + full))
+        for i in range(n_views):
+            if pmi[i] < 0.95:
+                prompts[i][idx] = ""
+    return [" ".join(w for w in p if w) for p in prompts]
+
+
+class BertViewProbe:
+    """Masked-LM view-word probe for `get_debiased_prompts` — the
+    reference's BertForMaskedLM path (base.py:446-472). Import-gated:
+    needs `transformers` weights locally; tests use a fake probe."""
+
+    def __init__(self, model_name: str = "bert-base-uncased",
+                 view_names: Sequence[str] = ("side", "front", "back",
+                                              "overhead")):
+        import torch
+        from transformers import AutoTokenizer, BertForMaskedLM
+
+        self.torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = BertForMaskedLM.from_pretrained(model_name)
+        ids = self.tokenizer(" ".join(view_names),
+                             return_tensors="pt").input_ids[0]
+        self.view_ids = ids[1:1 + len(view_names)]
+
+    def __call__(self, prompt: str):
+        torch = self.torch
+        text = f"This image is depicting a [MASK] view of {prompt}"
+        tokens = self.tokenizer(text, padding="max_length", truncation=True,
+                                add_special_tokens=True, return_tensors="pt")
+        mask_idx = torch.where(
+            tokens.input_ids == self.tokenizer.mask_token_id
+        )[1]
+        with torch.no_grad():
+            logits = self.model(**tokens).logits
+        probs = torch.softmax(logits[0, mask_idx], dim=-1)[0, self.view_ids]
+        probs = probs / probs.sum()
+        return probs.numpy()

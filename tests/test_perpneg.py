@@ -83,3 +83,45 @@ class TestCombine:
         neg_orth = np.array([0.0, 1.0])
         out2 = perp_neg_combine(pos, unc, [(neg_orth, -0.5)])
         np.testing.assert_allclose(out2, np.array([1.0, -0.5]))
+
+
+class TestPromptDebiasing:
+    def test_biasing_word_removed_for_affected_view(self):
+        """A word that skews the view distribution is removed from the
+        views whose probability it inflates relative to the droppped
+        variant (PMI < 0.95), reproducing base.py:443-501 semantics."""
+        from gaussianeditor_tpu.guidance.prompts import get_debiased_prompts
+
+        # fake masked-LM probe: the word "lying" biases toward view 3
+        # (overhead); without it the distribution is uniform
+        def probe(text):
+            if "lying" in text:
+                return np.array([0.1, 0.1, 0.1, 0.7])
+            return np.array([0.25, 0.25, 0.25, 0.25])
+
+        out = get_debiased_prompts("a dog lying down", probe)
+        assert len(out) == 4
+        # full=with-word; dropping "lying" -> part uniform; for views
+        # 0-2: pmi = 0.1/(0.5*(0.25+0.1)) = 0.57 < 0.95 -> removed;
+        # view 3: pmi = 0.7/(0.5*(0.25+0.7)) = 1.47 -> kept
+        assert out[3] == "a dog lying down"
+        for i in range(3):
+            assert "lying" not in out[i]
+
+    def test_unbiased_prompt_unchanged(self):
+        from gaussianeditor_tpu.guidance.prompts import get_debiased_prompts
+
+        out = get_debiased_prompts(
+            "a stone statue", lambda t: np.full(4, 0.25))
+        assert out == ["a stone statue"] * 4
+
+    def test_mask_ids_restrict_candidates(self):
+        from gaussianeditor_tpu.guidance.prompts import get_debiased_prompts
+
+        def probe(text):
+            return (np.array([0.7, 0.1, 0.1, 0.1]) if "red" in text
+                    else np.full(4, 0.25))
+
+        # "red" is word 1 but only word 0 may be debiased -> unchanged
+        out = get_debiased_prompts("a red car", probe, mask_ids=[0])
+        assert out == ["a red car"] * 4
