@@ -21,7 +21,6 @@ Config schema (YAML):
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys

@@ -25,7 +25,7 @@ Numerical cutoffs preserved: alpha cap 0.99, alpha floor 1/255, T floor
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

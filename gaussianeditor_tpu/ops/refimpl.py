@@ -14,9 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gaussianeditor_tpu.core.cameras import Camera
 from gaussianeditor_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_MIN
-from gaussianeditor_tpu.ops.preprocess import ProcessedGaussians, preprocess
+from gaussianeditor_tpu.ops.preprocess import ProcessedGaussians
 
 
 def composite_dense(proc: ProcessedGaussians, height: int, width: int,

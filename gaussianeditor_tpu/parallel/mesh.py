@@ -13,7 +13,7 @@ are reduced with `psum` over ICI. Multi-host extends the same mesh via
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

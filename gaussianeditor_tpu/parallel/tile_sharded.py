@@ -18,9 +18,6 @@ render, `forward.cu:261` launches one block per tile on one device).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -11,9 +11,6 @@ densify stats + step) as an npz — the capture/restore equivalent — while
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,7 +9,7 @@ backed, channels-last float images in [0, 1].
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
