@@ -107,8 +107,10 @@ def render(
 ) -> RenderOutput:
     """Differentiable render of a GaussianScene through `camera`.
 
-    impl: 'pallas' (production TPU path, compact binning + chunk-grid
-    kernels), 'tiled' (scan+MXU compositor), 'ref' (dense oracle).
+    impl: 'pallas' (production TPU path: payload-carrying fat sort +
+    chunk-grid kernels, ops/binning_sorted.py), 'pallas4' (v4 id-sort +
+    gather path; auto-selected for >3-channel feature renders),
+    'tiled' (scan+MXU compositor), 'ref' (dense oracle).
     max_instances: total tile-instance budget (all impls); exceeding it
     trips `overflow` and the host policy (`render_safe`) re-renders at
     doubled budget — the XLA analog of CUDA's runtime buffer resize.
