@@ -1,0 +1,150 @@
+"""2-D sharded training step: views x tile strips on one mesh.
+
+Composes the two scaling axes (SURVEY §2.6): the camera batch shards
+over the `view` axis exactly as `parallel/sharded_step.py`, and WITHIN
+each view every chip renders only its tile-row strip of the image
+(`parallel/tile_sharded.py` decomposition). Parameters stay replicated;
+per-Gaussian gradients `psum` over BOTH axes at once (one fused
+collective over ICI); densify statistics reduce with psum/pmax over
+both axes, reproducing single-device semantics bit-for-bit up to fp
+summation order.
+
+Losses must be strip-decomposable: L1 is (equal strips => the mean of
+strip means is the image mean); SSIM/LPIPS are not (their windows cross
+strip boundaries), so this step supports the L1+anchor objective — the
+canonical editing loss with `lambda_p` handled by the view-sharded step
+or a strip-halo extension (docs/tile_sharding.md, next steps).
+
+Targets shard over BOTH axes: [B, H, W, 3] with P(view, tile) — each
+chip holds only its views' strip rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussianeditor_tpu.core.cameras import Camera
+from gaussianeditor_tpu.ops.preprocess import TILE
+from gaussianeditor_tpu.parallel.tile_sharded import render_strip
+from gaussianeditor_tpu.train.anchors import anchor_loss
+from gaussianeditor_tpu.train.densify import add_densification_stats
+from gaussianeditor_tpu.train.losses import l1_loss
+from gaussianeditor_tpu.train.optim import GaussianAdam
+from gaussianeditor_tpu.train.trainer import LossWeights, TrainState
+
+
+def make_2d_train_step(
+    optim: GaussianAdam,
+    weights: LossWeights,
+    mesh: Mesh,
+    *,
+    view_axis: str = "view",
+    tile_axis: str = "tile",
+    impl: Optional[str] = None,
+    max_instances: Optional[int] = None,
+):
+    """Build the jitted (view x tile)-sharded train step.
+
+    cam_batch leaves / targets need batch divisible by mesh[view_axis];
+    the image height must split into mesh[tile_axis] equal tile-row
+    strips.
+    """
+    n_tile = mesh.shape[tile_axis]
+
+    def step_fn(state: TrainState, cam_batch: Camera, targets: jnp.ndarray):
+        cam_leaves, cam_treedef = jax.tree_util.tree_flatten(cam_batch)
+        H = targets.shape[1]
+        gy = (H + TILE - 1) // TILE
+        assert gy % n_tile == 0, f"{gy} tile rows not divisible by {n_tile}"
+        gy_local = gy // n_tile
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(),                                          # state
+                tuple(P(view_axis) for _ in cam_leaves),      # cameras
+                P(view_axis, tile_axis),                      # target strips
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def sharded(state, local_cam_leaves, local_targets):
+            scene = state.scene
+            C = scene.capacity
+            B_local = local_targets.shape[0]
+            n_view = jax.lax.psum(1, view_axis)
+            n_tiles_ax = jax.lax.psum(1, tile_axis)
+            B_global = B_local * n_view
+            ty0 = jax.lax.axis_index(tile_axis) * gy_local
+
+            def loss_for_grad(params, offsets):
+                s = scene.replace(params=params)
+                l1 = 0.0
+                radii_max = jnp.zeros((C,), jnp.int32)
+                vis_any = jnp.zeros((C,), bool)
+                for b in range(B_local):
+                    leaves = [x[b] for x in local_cam_leaves]
+                    cam = jax.tree_util.tree_unflatten(cam_treedef, leaves)
+                    out = render_strip(
+                        s, cam, ty0, gy_local,
+                        max_instances=max_instances, impl=impl or "pallas",
+                        mean2d_offset_ndc=offsets[b],
+                    )
+                    l1 = l1 + l1_loss(out.color, local_targets[b])
+                    radii_max = jnp.maximum(radii_max, out.radii)
+                    vis_any = vis_any | out.visible
+                anchors = anchor_loss(scene.replace(params=params))
+                local_total = (
+                    weights.lambda_l1 * l1 / (B_global * n_tiles_ax)
+                    + (
+                        weights.lambda_anchor_color
+                        * anchors["loss_anchor_color"]
+                        + weights.lambda_anchor_geo * anchors["loss_anchor_geo"]
+                        + weights.lambda_anchor_scale
+                        * anchors["loss_anchor_scale"]
+                        + weights.lambda_anchor_opacity
+                        * anchors["loss_anchor_opacity"]
+                    ) / (n_view * n_tiles_ax)
+                )
+                return local_total, (l1, radii_max, vis_any, anchors)
+
+            offsets0 = jnp.zeros((B_local, C, 2), jnp.float32)
+            (local_total, (l1, radii_max, vis_any, anchors)), (g, og) = (
+                jax.value_and_grad(loss_for_grad, argnums=(0, 1),
+                                   has_aux=True)(scene.params, offsets0)
+            )
+
+            both = (view_axis, tile_axis)
+            grads = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, both), g)
+            total = jax.lax.psum(local_total, both)
+            loss_l1 = jax.lax.psum(l1, both) / (B_global * n_tiles_ax)
+            vgrad = jax.lax.psum(jnp.sum(og, axis=0), both)
+            vnorm = jnp.linalg.norm(vgrad, axis=-1)
+            radii_g = jax.lax.pmax(radii_max, both)
+            vis_g = jax.lax.pmax(vis_any.astype(jnp.int32), both) > 0
+
+            stats = add_densification_stats(state.stats, vnorm, radii_g,
+                                            vis_g)
+            params, opt_state = optim.step(
+                scene.params, grads, state.opt_state,
+                grad_mask=scene.mask, step_override=state.step,
+            )
+            new_state = TrainState(
+                scene=scene.replace(params=params),
+                opt_state=opt_state,
+                stats=stats,
+                step=state.step + 1,
+            )
+            metrics = {"loss": total, "loss_l1": loss_l1, **anchors}
+            return new_state, metrics
+
+        return sharded(state, tuple(cam_leaves), targets)
+
+    return jax.jit(step_fn)

@@ -32,12 +32,29 @@ from gaussianeditor_tpu.ops.pallas_composite import (
 from gaussianeditor_tpu.ops.preprocess import TILE, preprocess
 
 
+class StripRender:
+    """Lightweight result bundle for one tile-row strip."""
+
+    def __init__(self, color, final_T, overflow, radii, visible):
+        self.color = color
+        self.final_T = final_T
+        self.overflow = overflow
+        self.radii = radii
+        self.visible = visible
+
+    def __iter__(self):  # backward compat: (color, final_T, overflow)
+        return iter((self.color, self.final_T, self.overflow))
+
+
 def render_strip(scene, camera: Camera, ty0, gy_local: int, *,
-                 max_instances: int, impl: str = "pallas"):
+                 max_instances: int, impl: str = "pallas",
+                 mean2d_offset_ndc=None):
     """Render tile rows [ty0, ty0 + gy_local) of `camera`'s image.
 
     ty0 may be traced (per-shard under shard_map); gy_local is static.
-    Returns (color [gy_local*TILE, W, ch], alpha_strip).
+    Returns a StripRender (iterable as (color, final_T, overflow));
+    `visible` is strip-local (a splat is visible iff it touches THIS
+    strip — OR/pmax over strips reconstructs the full-image filter).
     """
     W, H = camera.width, camera.height
     grid_x = (W + TILE - 1) // TILE
@@ -52,6 +69,7 @@ def render_strip(scene, camera: Camera, ty0, gy_local: int, *,
         active_sh_degree=scene.active_sh_degree,
         max_sh_degree=scene.max_sh_degree,
         tile_row_range=(ty0, ty0 + gy_local),
+        mean2d_offset_ndc=mean2d_offset_ndc,
     )
     # strip-local pixel space: shift the splat centers' y
     shift = (ty0 * TILE).astype(jnp.float32)
@@ -78,7 +96,7 @@ def render_strip(scene, camera: Camera, ty0, gy_local: int, *,
     hs = gy_local * TILE
     color = tiles_to_image(tiles.color, grid_x, gy_local, hs, W)
     final_T = tiles_to_image(tiles.final_T, grid_x, gy_local, hs, W)
-    return color, final_T, overflow
+    return StripRender(color, final_T, overflow, proc.radius, proc.visible)
 
 
 def make_tile_sharded_render(mesh: Mesh, scene_capacity: int, camera: Camera,
