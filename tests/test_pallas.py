@@ -130,3 +130,38 @@ class TestPallasDeterminism:
         assert np.asarray(v1).tobytes() == np.asarray(v2).tobytes()
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
+
+
+class TestSortedVsDensePaths:
+    def test_v5_matches_v4_forward_and_grads(self):
+        """The production sorted-payload path ('pallas') and the v4
+        id-sort+gather path ('pallas4', kept for >3-channel feature
+        renders) must agree on outputs and parameter gradients."""
+        scene = random_scene(130, seed=15)
+        cam = make_camera(64, 48)
+        o5 = _jit_render("pallas", 8192)(scene, cam)
+        o4 = _jit_render("pallas4", 8192)(scene, cam)
+        assert int(o5.num_rendered) == int(o4.num_rendered)
+        np.testing.assert_allclose(np.asarray(o5.color),
+                                   np.asarray(o4.color), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(o5.final_T),
+                                   np.asarray(o4.final_T), atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(o5.n_contrib),
+                                      np.asarray(o4.n_contrib))
+
+        probe = jax.random.normal(jax.random.key(3), (64, 48, 3))
+
+        def loss(params, impl):
+            s = scene.replace(params=params)
+            out = render(s, cam, jnp.zeros(3), impl=impl,
+                         max_instances=8192)
+            return jnp.sum(out.color * probe) + 0.1 * jnp.sum(out.depth)
+
+        g5 = jax.jit(jax.grad(lambda p: loss(p, "pallas")))(scene.params)
+        g4 = jax.jit(jax.grad(lambda p: loss(p, "pallas4")))(scene.params)
+        for a, b in zip(jax.tree.leaves(g5), jax.tree.leaves(g4)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            den = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / den, b / den, atol=3e-4)
