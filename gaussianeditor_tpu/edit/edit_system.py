@@ -15,6 +15,7 @@ fixed-capacity scene pytree.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -70,6 +71,18 @@ class EditConfig:
     # seeded training-view subset size (gs_load.py:218-221; 48 WebUI /
     # 96 CLI); None or >= len(cameras) trains on every view
     max_view_num: Optional[int] = None
+    # progressive resolution (gs_load.py:273-283): at global step
+    # resolution_milestones[i] the render size steps to
+    # (heights[i+1], widths[i+1]) and the batch to batch_sizes[i+1];
+    # index 0 of each list is the pre-milestone value. Empty lists =
+    # fixed resolution from the cameras. Cached origin/edited frames are
+    # invalidated on a size change (they were rendered at the old size)
+    # and regenerate lazily; the jitted step retraces once per bucket.
+    resolution_milestones: List[int] = dataclasses.field(
+        default_factory=list)
+    heights: List[int] = dataclasses.field(default_factory=list)
+    widths: List[int] = dataclasses.field(default_factory=list)
+    batch_sizes: List[int] = dataclasses.field(default_factory=list)
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     # LR scalers (GassuianEditor.py:483-505 builds OptimizationParams from
     # trainer.max_steps and these multipliers)
@@ -132,9 +145,9 @@ class ViewSampler:
         self.rng = np.random.RandomState(seed)
         self._stack: List[int] = []
 
-    def sample(self) -> List[int]:
+    def sample(self, batch_size: Optional[int] = None) -> List[int]:
         out = []
-        for _ in range(self.batch):
+        for _ in range(batch_size if batch_size is not None else self.batch):
             if not self._stack:
                 self._stack = [self.views[i]
                                for i in self.rng.permutation(self.n)]
@@ -210,6 +223,17 @@ class EditSystem:
         self.sampler = ViewSampler(len(self.cameras), config.batch_size,
                                    config.seed,
                                    max_view_num=config.max_view_num)
+        # progressive-resolution schedule (gs_load.py:273-283); the base
+        # cameras keep their native size, self.cameras carries the
+        # schedule's current size
+        self._base_cameras = list(self.cameras)
+        self._cur_hw: Optional[tuple] = None
+        if config.resolution_milestones:
+            assert (len(config.heights) == len(config.widths)
+                    == len(config.resolution_milestones) + 1), (
+                "need len(heights) == len(widths) == "
+                "len(resolution_milestones) + 1")
+        self._apply_resolution(0)
         self.origin_frames: Dict[int, np.ndarray] = {}
         self.edit_frames: Dict[int, np.ndarray] = {}
         self._pending_targets: Dict[int, object] = {}
@@ -224,6 +248,39 @@ class EditSystem:
             ).color
         )
 
+    # --- progressive resolution (gs_load.py:273-283) ---
+
+    def _res_at(self, step: int) -> tuple:
+        """(height, width, batch_size) for a global step — bisecting the
+        milestone list exactly as the reference's update_step."""
+        import bisect
+
+        cfg = self.cfg
+        if not cfg.resolution_milestones:
+            if cfg.heights:  # fixed override of the camera size
+                return cfg.heights[0], cfg.widths[0], cfg.batch_size
+            c = self._base_cameras[0]
+            return c.height, c.width, cfg.batch_size
+        i = bisect.bisect_right([-1] + list(cfg.resolution_milestones),
+                                step) - 1
+        bs = (cfg.batch_sizes[i] if cfg.batch_sizes else cfg.batch_size)
+        return cfg.heights[i], cfg.widths[i], bs
+
+    def _apply_resolution(self, step: int) -> int:
+        """Step the camera resolution for `step`; returns the batch
+        size. On a size change the per-view frame caches are invalidated
+        (they were rendered at the old size) — origin renders regenerate
+        lazily, edited targets on the next per_editing_step touch."""
+        h, w, bs = self._res_at(step)
+        if self._cur_hw != (h, w):
+            if self._cur_hw is not None:
+                self.origin_frames.clear()
+                self.edit_frames.clear()
+                self._pending_targets.clear()
+            self.cameras = [c.rescale(h, w) for c in self._base_cameras]
+            self._cur_hw = (h, w)
+        return bs
+
     # --- setup (on_fit_start, GassuianEditorEdit.py:38-62) ---
 
     def render_all_views(self) -> Dict[int, np.ndarray]:
@@ -234,6 +291,16 @@ class EditSystem:
                     self._render_cache(self.scene, cam)
                 )
         return self.origin_frames
+
+    def _origin_frame(self, vid: int) -> np.ndarray:
+        """Origin render for one view, regenerated lazily after a
+        resolution-milestone cache invalidation (the ORIGINAL scene at
+        the CURRENT schedule size)."""
+        if vid not in self.origin_frames:
+            self.origin_frames[vid] = np.asarray(
+                self._render_cache(self.scene, self.cameras[vid])
+            )
+        return self.origin_frames[vid]
 
     def update_mask(self) -> None:
         """Semantic tracing with the pluggable segmentor
@@ -292,6 +359,27 @@ class EditSystem:
                 self.edit_frames[vid] = fut.result()
                 del self._pending_targets[vid]
 
+    def _guidance_submit(self, fn, *args):
+        """Every guidance invocation rides ONE worker thread: the torch
+        diffusion pipelines are not reentrant, so nothing may call them
+        on the main thread while a background refresh is in flight
+        (first-touch targets and SDS/DDS score passes included)."""
+        if self._guidance_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._guidance_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="guidance",
+            )
+        return self._guidance_pool.submit(fn, *args)
+
+    def _guidance_call(self, fn, *args):
+        """Run a guidance call serialized with background refreshes.
+        With async_guidance off there is no worker and a direct call is
+        race-free."""
+        if not self.cfg.async_guidance:
+            return fn(*args)
+        return self._guidance_submit(fn, *args).result()
+
     def _gen_target(self, current: np.ndarray, origin: np.ndarray):
         out = self.guidance(current, origin, self.cfg.prompt)
         return np.asarray(out.edit_image, np.float32)
@@ -301,7 +389,7 @@ class EditSystem:
             # score-distillation-only training: targets fall back to the
             # origin renders (weighted by lambda_l1/lambda_p, typically 0)
             for vid in view_ids:
-                self.edit_frames.setdefault(vid, self.origin_frames[vid])
+                self.edit_frames.setdefault(vid, self._origin_frame(vid))
             return
         if self.cfg.async_guidance:
             self._drain_guidance_futures()
@@ -323,19 +411,14 @@ class EditSystem:
                 # until it lands (one worker serializes guidance calls —
                 # the torch pipelines are not reentrant)
                 if vid not in self._pending_targets:
-                    if self._guidance_pool is None:
-                        from concurrent.futures import ThreadPoolExecutor
-
-                        self._guidance_pool = ThreadPoolExecutor(
-                            max_workers=1,
-                            thread_name_prefix="guidance",
-                        )
-                    self._pending_targets[vid] = self._guidance_pool.submit(
-                        self._gen_target, current, self.origin_frames[vid]
+                    self._pending_targets[vid] = self._guidance_submit(
+                        self._gen_target, current, self._origin_frame(vid)
                     )
             else:
-                self.edit_frames[vid] = self._gen_target(
-                    current, self.origin_frames[vid]
+                # first touch must block — but still through the single
+                # worker, never concurrently with an in-flight refresh
+                self.edit_frames[vid] = self._guidance_call(
+                    self._gen_target, current, self._origin_frame(vid)
                 )
 
     def _score_inject(self, view_ids: List[int], step: int) -> jnp.ndarray:
@@ -347,21 +430,25 @@ class EditSystem:
             np.asarray(self._render_cache(self.state.scene, self.cameras[v]))
             for v in view_ids
         ])
-        origins = np.stack([self.origin_frames[v] for v in view_ids])
+        origins = np.stack([self._origin_frame(v) for v in view_ids])
         g = np.zeros_like(renders)
+        # serialized with any in-flight background refresh: the score
+        # guidance may wrap the SAME torch pipe as the target guidance
         if self.sds_guidance is not None:
             lam = C(self.cfg.loss.lambda_sds, step)
             if lam > 0:
-                gi, _ = self.sds_guidance(
-                    renders, origins, self.cfg.prompt, step=step,
+                gi, _ = self._guidance_call(
+                    functools.partial(self.sds_guidance, step=step),
+                    renders, origins, self.cfg.prompt,
                 )
                 g = g + lam * np.asarray(gi, np.float32)
         if self.dds_guidance is not None:
             lam = C(self.cfg.loss.lambda_dds, step)
             if lam > 0:
                 tgt, src = self.dds_prompts
-                gi, _ = self.dds_guidance(
-                    renders, origins, tgt, src, step=step,
+                gi, _ = self._guidance_call(
+                    functools.partial(self.dds_guidance, step=step),
+                    renders, origins, tgt, src,
                 )
                 g = g + lam * np.asarray(gi, np.float32)
         return jnp.asarray(g)
@@ -382,9 +469,11 @@ class EditSystem:
         # fast-forward the view sampler to the checkpoint's phase so the
         # resumed run draws the same view sequence an uninterrupted run
         # would (the sampler is a seeded refilling stack; its state is a
-        # pure function of (seed, draws))
-        for _ in range(int(self.state.step)):
-            self.sampler.sample()
+        # pure function of (seed, draws)) — replaying the milestone
+        # batch sizes so the draw count matches
+        for i in range(int(self.state.step)):
+            _, _, bs = self._res_at(i)
+            self.sampler.sample(bs)
 
     def fit(self, n_steps: Optional[int] = None, callback=None,
             should_stop=None) -> TrainState:
@@ -399,7 +488,11 @@ class EditSystem:
             if should_stop is not None and should_stop():
                 break
             step = int(self.state.step)
-            view_ids = self.sampler.sample()
+            # progressive resolution: rescale cameras + step the batch
+            # size at milestones (gs_load.py:273-283); a size change
+            # invalidates the frame caches and re-jits per size bucket
+            bs = self._apply_resolution(step)
+            view_ids = self.sampler.sample(bs)
             self._refresh_targets(view_ids, step)
             cam_batch = stack_cameras([self.cameras[v] for v in view_ids])
             targets = jnp.asarray(

@@ -120,36 +120,41 @@ class InstructPix2PixGuidance:
             )
             # DDIM from the SAMPLED noise level, not from t=num_train:
             # override BEFORE set_timesteps so timesteps = linspace(t-1,0)
-            # (instructpix2pix_guidance.py:171-178), and restore after
-            self.pipe.scheduler.config.num_train_timesteps = t
-            self.pipe.scheduler.set_timesteps(self.diffusion_steps)
-            noise = torch.randn_like(latents)
-            latents = self.pipe.scheduler.add_noise(
-                latents, noise, self.pipe.scheduler.timesteps[0:1]
-            )
-            for step_t in self.pipe.scheduler.timesteps:
-                latent_in = torch.cat([latents] * 3)
-                latent_in = torch.cat(
-                    [latent_in, torch.cat([cond_latents, cond_latents,
-                                           torch.zeros_like(cond_latents)])],
-                    dim=1,
+            # (instructpix2pix_guidance.py:171-178). Restore in `finally`
+            # — an exception mid-denoise (e.g. OOM) must not leave the
+            # scheduler's training range clobbered at the sampled t for
+            # every subsequent call.
+            try:
+                self.pipe.scheduler.config.num_train_timesteps = t
+                self.pipe.scheduler.set_timesteps(self.diffusion_steps)
+                noise = torch.randn_like(latents)
+                latents = self.pipe.scheduler.add_noise(
+                    latents, noise, self.pipe.scheduler.timesteps[0:1]
                 )
-                noise_pred = self.pipe.unet(
-                    latent_in, step_t, encoder_hidden_states=text_emb
+                for step_t in self.pipe.scheduler.timesteps:
+                    latent_in = torch.cat([latents] * 3)
+                    latent_in = torch.cat(
+                        [latent_in, torch.cat([cond_latents, cond_latents,
+                                               torch.zeros_like(cond_latents)])],
+                        dim=1,
+                    )
+                    noise_pred = self.pipe.unet(
+                        latent_in, step_t, encoder_hidden_states=text_emb
+                    ).sample
+                    n_text, n_img, n_unc = noise_pred.chunk(3)
+                    noise_pred = (
+                        n_unc
+                        + self.guidance_scale * (n_text - n_img)
+                        + self.image_guidance_scale * (n_img - n_unc)
+                    )
+                    latents = self.pipe.scheduler.step(
+                        noise_pred, step_t, latents
+                    ).prev_sample
+                img = self.pipe.vae.decode(
+                    latents / self.pipe.vae.config.scaling_factor
                 ).sample
-                n_text, n_img, n_unc = noise_pred.chunk(3)
-                noise_pred = (
-                    n_unc
-                    + self.guidance_scale * (n_text - n_img)
-                    + self.image_guidance_scale * (n_img - n_unc)
-                )
-                latents = self.pipe.scheduler.step(
-                    noise_pred, step_t, latents
-                ).prev_sample
-            img = self.pipe.vae.decode(
-                latents / self.pipe.vae.config.scaling_factor
-            ).sample
-            self.pipe.scheduler.config.num_train_timesteps = num_train
+            finally:
+                self.pipe.scheduler.config.num_train_timesteps = num_train
         out = ((img / 2 + 0.5).clamp(0, 1)[0].permute(1, 2, 0)
                .float().cpu().numpy())
         return GuidanceOutput(edit_image=out)

@@ -166,9 +166,24 @@ def sorted_bin(
     P = 7 + ch
     assert P <= FTAB - 6, f"channel count {ch} too wide for sorted path"
     R, NB, NC = sorted_capacities(max_instances, num_tiles)
+    # the combined table carries b_prev through f32; only values < 2^24
+    # are exact, and live ranks only ever read b_prev < R (gsrc skips
+    # Gaussians whose first rank falls past the budget), so R bounds the
+    # requirement. Bigger budgets must use the pallas4 id-sort path
+    # (ops/render.py routes this automatically).
+    assert R <= 2 ** 24, (
+        f"sorted-bin instance budget {R} exceeds the exact-f32 integer "
+        "range; use impl='pallas4' for budgets over 2^24"
+    )
 
     tile_bits = max((num_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
+    # the depth key also rides f32: cap it at 24 bits so the encoding is
+    # exact. Truncation only coarsens depth TIES (monotone rounding never
+    # reorders); ordering semantics match the reference's full-precision
+    # radix sort except between depths equal in their top 24 mantissa/
+    # exponent bits.
+    key_depth_bits = min(depth_bits, 24)
 
     # --- rank -> source Gaussian: one C-sized scatter + cummax ---
     tt = proc.tiles_touched
@@ -184,7 +199,7 @@ def sorted_bin(
     # --- combined [C+1, 16] table; ints encoded exactly in f32 ---
     depth = jax.lax.stop_gradient(proc.depth.astype(jnp.float32))
     dkey32 = (jax.lax.bitcast_convert_type(depth, jnp.uint32)
-              >> (32 - depth_bits)).astype(jnp.int32)
+              >> (32 - key_depth_bits)).astype(jnp.int32)
     stop = jax.lax.stop_gradient
     cols = [
         b_prev.astype(jnp.float32),
@@ -214,7 +229,7 @@ def sorted_bin(
     Rk = _round_up(R, KEY_BLK)
     rows_k = (rows_rank if Rk == R
               else jnp.pad(rows_rank, ((0, Rk - R), (0, 0))))
-    key_call = _make_key_kernel(Rk, grid_x, depth_bits, P)
+    key_call = _make_key_kernel(Rk, grid_x, key_depth_bits, P)
     key, rt = key_call(jnp.asarray([0], jnp.int32) + total, rows_k)
     if Rk != R:
         key = key[:R]
@@ -228,7 +243,7 @@ def sorted_bin(
     scols = sorted_ops[1:1 + P]
     sg = sorted_ops[1 + P]
     srank = sorted_ops[2 + P]
-    stile = (skey >> depth_bits).astype(jnp.int32)  # invalid -> marker > T
+    stile = (skey >> key_depth_bits).astype(jnp.int32)  # invalid -> marker > T
 
     # --- block-transposed payload [NB, 16, CHUNK] (last block zero) ---
     nbr = NB * CHUNK - R

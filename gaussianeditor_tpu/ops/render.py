@@ -158,6 +158,10 @@ def render(
     ch = proc.color.shape[-1]
     if impl == "pallas" and ch > 3:
         impl = "pallas4"  # sorted payload table caps at 7+ch <= 16 columns
+    if impl == "pallas" and max_instances > 2 ** 24:
+        # the fat-sort path carries int fields through f32 (exact only
+        # below 2^24); huge budgets take the id-sort path instead
+        impl = "pallas4"
     if impl == "pallas":
         from gaussianeditor_tpu.ops.binning_sorted import sorted_bin
         from gaussianeditor_tpu.ops.pallas_composite import (

@@ -321,9 +321,76 @@ class TestAsyncGuidance:
         losses = []
         sys_.fit(callback=lambda s, m: losses.append(float(m["loss"])))
         assert np.isfinite(losses).all()
-        # first-touch generations run on the main thread; refreshes on
-        # the worker thread
-        assert main_thread in call_threads
-        assert any(t != main_thread for t in call_threads)
+        # the torch pipelines are not reentrant: EVERY guidance call
+        # (first-touch included) must ride the single worker thread —
+        # never the main thread, which could race an in-flight refresh
+        assert call_threads, "guidance was never invoked"
+        assert main_thread not in call_threads
+        assert len(set(call_threads)) == 1
         # a background refresh actually landed
         assert len(sys_._pending_targets) < len(call_threads)
+
+
+class TestProgressiveResolution:
+    def test_resolution_milestones_step_render_size(self):
+        """An edit run with resolution_milestones actually changes the
+        render size and batch size at those steps, invalidating the
+        cached targets (gs_load.py:273-283 wired into EditSystem)."""
+        sizes_seen = []
+
+        class ShapeSpyGuidance(FakeGuidance):
+            def __call__(self, render_img, origin, prompt, **kw):
+                sizes_seen.append(np.asarray(origin).shape[:2])
+                return super().__call__(render_img, origin, prompt, **kw)
+
+        scene = random_scene(50, seed=11)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(
+            prompt="p", batch_size=1, max_steps=9, per_editing_step=2,
+            densification_interval=100, edit_until_step=9,
+            cameras_extent=2.0, max_instances=8192, tile_cap=512, chunk=64,
+            resolution_milestones=[3, 6],
+            heights=[32, 48, 64], widths=[32, 48, 64],
+            batch_sizes=[1, 1, 2],
+        )
+        sys_ = EditSystem(scene, cams, cfg, guidance=ShapeSpyGuidance(),
+                          perceptual=None)
+        hw_per_step = {}
+        batch_per_step = {}
+
+        real_apply = sys_._apply_resolution
+
+        def spy(step):
+            bs = real_apply(step)
+            hw_per_step[step] = sys_._cur_hw
+            batch_per_step[step] = bs
+            return bs
+
+        sys_._apply_resolution = spy
+        losses = []
+        sys_.fit(callback=lambda s, m: losses.append(float(m["loss"])))
+
+        assert hw_per_step[0] == (32, 32)
+        assert hw_per_step[2] == (32, 32)
+        assert hw_per_step[3] == (48, 48)
+        assert hw_per_step[5] == (48, 48)
+        assert hw_per_step[6] == (64, 64)
+        assert batch_per_step[0] == 1 and batch_per_step[6] == 2
+        assert np.isfinite(losses).all() and len(losses) == 9
+        # guidance regenerated targets at every scheduled size
+        assert {s for s in sizes_seen} == {(32, 32), (48, 48), (64, 64)}
+        # the final cached targets are at the final size
+        assert all(f.shape[:2] == (64, 64)
+                   for f in sys_.edit_frames.values())
+
+    def test_fixed_resolution_unchanged_default(self):
+        scene = random_scene(30, seed=12)
+        cams = orbit_cameras(2, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(prompt="p", batch_size=1, max_steps=2,
+                         per_editing_step=0, densification_interval=100,
+                         cameras_extent=2.0, max_instances=8192,
+                         tile_cap=512, chunk=64)
+        sys_ = EditSystem(scene, cams, cfg, guidance=FakeGuidance(),
+                          perceptual=None)
+        sys_.fit()
+        assert sys_._cur_hw == (32, 32)
