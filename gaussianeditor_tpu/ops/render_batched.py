@@ -1,0 +1,194 @@
+"""Batched multi-view render: B views through ONE kernel-pair launch.
+
+The reference launches `renderCUDA` once per view (forward.cu:396 via
+gaussian_renderer/__init__.py); the round-2 edit step likewise unrolled B
+per-view renders, paying B separate bin + fat-sort + kernel launches and
+B backward rank reductions per step (train/trainer.py).
+
+TPU-native batching insight: the chunk-grid compositor kernels address
+pixels purely through the owning TILE id (ops/pallas_composite.py) — so
+stacking the B views vertically in *tile space* (view v's tiles occupy
+virtual tile rows [v*grid_y, (v+1)*grid_y)) turns the whole batch into
+ONE virtual render of a (B*grid_y, grid_x) tile grid:
+
+  * per-view preprocess outputs are concatenated along the Gaussian axis
+    into a "flat scene" of B*C virtual Gaussians, with
+      - mean2d.y   += v * grid_y * TILE   (virtual pixel rows)
+      - rect_*.y   += v * grid_y          (virtual tile rows)
+    Constant shifts are gradient-transparent, so autodiff routes the
+    compositor's per-(view, Gaussian) cotangents straight back through
+    each view's preprocess to the shared 3-D parameters.
+  * ONE fat sort over the union instance list (keys already carry the
+    tile id, which now encodes the view — rasterizer_impl.cu:256-261
+    gets this for free since its key is tile-major too),
+  * ONE forward/backward Pallas launch over all chunks of all views,
+  * ONE deterministic rank-space cumsum-difference over the union
+    gradient rows (b_incl of the flat scene).
+
+Wins vs unrolled: the O(R log R) sort amortizes (one 2R-row sort beats
+two R-row sorts), kernel pipeline ramp-up is paid once, and every XLA
+glue stage (alignment scans, permutation gather, backward cumsum,
+scatter) runs once at 2R instead of twice at R.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussianeditor_tpu.core.cameras import Camera
+from gaussianeditor_tpu.ops.composite import tiles_to_image
+from gaussianeditor_tpu.ops.preprocess import (
+    TILE,
+    ProcessedGaussians,
+    preprocess,
+)
+
+
+class BatchedRenderOutput(NamedTuple):
+    color: jnp.ndarray        # [B, H, W, ch]
+    depth: jnp.ndarray        # [B, H, W]
+    alpha: jnp.ndarray        # [B, H, W]
+    final_T: jnp.ndarray      # [B, H, W]
+    radii: jnp.ndarray        # [B, C] int32
+    visible: jnp.ndarray      # [B, C] bool
+    num_rendered: jnp.ndarray  # scalar i32, summed over views
+    overflow: jnp.ndarray      # scalar bool (shared instance budget)
+    n_contrib: jnp.ndarray     # [B, H, W] int32
+
+
+def _flatten_procs(procs, grid_y: int) -> ProcessedGaussians:
+    """Concatenate per-view preprocess outputs into the flat virtual
+    scene, offsetting y coordinates into view-stacked tile space."""
+    row_px = jnp.float32(grid_y * TILE)
+
+    def cat(field):
+        return jnp.concatenate([getattr(p, field) for p in procs], axis=0)
+
+    mean2d = jnp.concatenate(
+        [p.mean2d + jnp.stack([jnp.float32(0.0), v * row_px])
+         for v, p in enumerate(procs)],
+        axis=0,
+    )
+    yoff = jnp.array([0, 1], jnp.int32)
+    rect_min = jnp.concatenate(
+        [p.rect_min + v * grid_y * yoff for v, p in enumerate(procs)],
+        axis=0,
+    )
+    rect_max = jnp.concatenate(
+        [p.rect_max + v * grid_y * yoff for v, p in enumerate(procs)],
+        axis=0,
+    )
+    return ProcessedGaussians(
+        mean2d=mean2d,
+        depth=cat("depth"),
+        conic=cat("conic"),
+        color=cat("color"),
+        opacity=cat("opacity"),
+        radius=cat("radius"),
+        visible=cat("visible"),
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=cat("tiles_touched"),
+    )
+
+
+def render_batched(
+    scene,
+    cam_batch: Camera,
+    bg: Optional[jnp.ndarray] = None,
+    *,
+    scale_modifier: float = 1.0,
+    mean2d_offset_ndc: Optional[jnp.ndarray] = None,
+    max_instances: Optional[int] = None,
+) -> BatchedRenderOutput:
+    """Differentiable render of `scene` through a stacked camera batch
+    (leaves [B, ...], all views sharing H and W — `stack_cameras`).
+
+    `max_instances` is the PER-VIEW budget (matching `render`'s knob);
+    the virtual scene gets B times that, shared across views, so a heavy
+    view can borrow headroom from a light one. Only the production
+    'pallas' (fat-sort) path is batched; other impls should use
+    per-view `render`.
+
+    mean2d_offset_ndc: optional [B, C, 2] densification probe, per view.
+    """
+    from gaussianeditor_tpu.ops.binning_sorted import sorted_bin
+    from gaussianeditor_tpu.ops.pallas_composite import (
+        make_pallas_compositor_sorted,
+    )
+    from gaussianeditor_tpu.ops.render import default_max_instances
+
+    # height/width are static camera fields (equal across the stack —
+    # enforced by stack_cameras); B comes from a stacked leaf
+    H = int(cam_batch.height)
+    W = int(cam_batch.width)
+    B = int(cam_batch.cam_pos.shape[0])
+
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    if max_instances is None:
+        max_instances = default_max_instances(scene.capacity)
+
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+    num_tiles = grid_x * grid_y
+
+    procs = []
+    for b in range(B):
+        cam = jax.tree_util.tree_map(lambda x, b=b: x[b], cam_batch)
+        procs.append(preprocess(
+            scene.params.xyz,
+            scene.params.log_scales,
+            scene.params.quats,
+            scene.get_opacity[:, 0],
+            scene.get_features,
+            cam,
+            alive=scene.alive,
+            active_sh_degree=scene.active_sh_degree,
+            max_sh_degree=scene.max_sh_degree,
+            scale_modifier=scale_modifier,
+            mean2d_offset_ndc=(None if mean2d_offset_ndc is None
+                               else mean2d_offset_ndc[b]),
+        ))
+
+    flat = _flatten_procs(procs, grid_y)
+    ch = flat.color.shape[-1]
+
+    sb = sorted_bin(flat, grid_x, B * grid_y, B * max_instances)
+    compositor = make_pallas_compositor_sorted(
+        B * num_tiles, grid_x, ch, B * scene.capacity, B * max_instances
+    )
+    tiles = compositor(
+        flat.mean2d, flat.conic, flat.opacity, flat.color, flat.depth, sb
+    )
+
+    # [B*num_tiles, PX, ...] -> per-view images
+    def unstack(t):
+        t = t.reshape((B, num_tiles) + t.shape[1:])
+        return jnp.stack(
+            [tiles_to_image(t[v], grid_x, grid_y, H, W)
+             for v in range(B)],
+            axis=0,
+        )
+
+    color = unstack(tiles.color)
+    depth = unstack(tiles.depth)
+    final_T = unstack(tiles.final_T)
+    n_contrib = unstack(tiles.n_contrib)
+    color = color + final_T[..., None] * bg[None, None, None, :]
+
+    C = scene.capacity
+    return BatchedRenderOutput(
+        color=color,
+        depth=depth,
+        alpha=1.0 - final_T,
+        final_T=final_T,
+        radii=flat.radius.reshape(B, C),
+        visible=flat.visible.reshape(B, C),
+        num_rendered=sb.num_rendered,
+        overflow=sb.overflow,
+        n_contrib=n_contrib,
+    )

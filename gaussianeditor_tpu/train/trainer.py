@@ -94,6 +94,7 @@ def make_train_step(
     max_instances: Optional[int] = None,
     tile_cap: int = 1024,
     chunk: int = 128,
+    batched: Optional[bool] = None,
 ):
     """Build the jitted edit train step.
 
@@ -106,7 +107,17 @@ def make_train_step(
     gradient into the Gaussian parameters (the JAX analog of the
     reference's `loss_sds = 0.5*mse(latents, target)` trick,
     instructpix2pix_guidance.py:285-297).
+    batched: route the whole camera batch through ONE kernel-pair launch
+    (ops/render_batched.py: one fat sort + one forward/backward Pallas
+    launch + one rank reduction for all B views). Default: on whenever
+    the production fat-sort compositor is the render path (TPU); the
+    unrolled per-view path remains for other impls and as a parity
+    oracle (tests/test_render_batched.py).
     """
+    from gaussianeditor_tpu.ops.render import default_impl
+
+    if batched is None:
+        batched = (impl or default_impl()) == "pallas"
 
     @functools.partial(jax.jit, static_argnames=())
     def train_step(
@@ -130,38 +141,65 @@ def make_train_step(
                 # local_edit -> gaussian.localize)
                 s = s.localized()
 
-            # views are UNROLLED, not lax.scan'ed: scanning the per-view
-            # render measured ~2x the per-view cost of the unrolled graph
-            # (scan residual handling defeats fusion); batch sizes are
-            # small and static (reference default 2)
-            radii_max = jnp.zeros((C,), jnp.int32)
-            vis_any = jnp.zeros((C,), bool)
-            ovf = jnp.asarray(False)
-            l1s, lps, injs = [], [], []
-            for b in range(B):
-                cam = jax.tree_util.tree_map(lambda x: x[b], cam_batch)
-                out = render(
-                    s, cam, jnp.zeros(3),
-                    mean2d_offset_ndc=offsets[b],
-                    impl=impl, max_instances=max_instances,
-                    tile_cap=tile_cap, chunk=chunk,
+            if batched:
+                # ONE launch for the whole batch: one fat sort + one
+                # fwd/bwd Pallas kernel pair + one rank reduction
+                # (ops/render_batched.py; beats the reference's
+                # per-view renderCUDA launches, forward.cu:396)
+                from gaussianeditor_tpu.ops.render_batched import (
+                    render_batched,
                 )
-                l1s.append(l1_loss(out.color, targets[b]))
-                lps.append(perceptual(out.color, targets[b])
-                           if perceptual is not None else 0.0)
-                if with_inject:
-                    injs.append(jnp.sum(
-                        out.color * jax.lax.stop_gradient(inject_grad[b])
-                    ))
-                radii_max = jnp.maximum(radii_max, out.radii)
-                vis_any = vis_any | out.visible
-                ovf = ovf | out.overflow
 
-            loss_l1 = jnp.mean(jnp.stack(l1s))
-            loss_p = (jnp.mean(jnp.stack(lps))
-                      if perceptual is not None else 0.0)
-            loss_inject = (jnp.sum(jnp.stack(injs)) if with_inject
-                           else jnp.asarray(0.0))
+                out = render_batched(
+                    s, cam_batch, jnp.zeros(3),
+                    mean2d_offset_ndc=offsets,
+                    max_instances=max_instances,
+                )
+                loss_l1 = l1_loss(out.color, targets)
+                lps = [perceptual(out.color[b], targets[b])
+                       for b in range(B)] if perceptual is not None else []
+                loss_p = (jnp.mean(jnp.stack(lps))
+                          if perceptual is not None else 0.0)
+                loss_inject = (
+                    jnp.sum(out.color * jax.lax.stop_gradient(inject_grad))
+                    if with_inject else jnp.asarray(0.0)
+                )
+                radii_max = jnp.max(out.radii, axis=0)
+                vis_any = jnp.any(out.visible, axis=0)
+                ovf = out.overflow
+            else:
+                # views are UNROLLED, not lax.scan'ed: scanning the
+                # per-view render measured ~2x the per-view cost of the
+                # unrolled graph (scan residual handling defeats fusion);
+                # batch sizes are small and static (reference default 2)
+                radii_max = jnp.zeros((C,), jnp.int32)
+                vis_any = jnp.zeros((C,), bool)
+                ovf = jnp.asarray(False)
+                l1s, lps, injs = [], [], []
+                for b in range(B):
+                    cam = jax.tree_util.tree_map(lambda x: x[b], cam_batch)
+                    out = render(
+                        s, cam, jnp.zeros(3),
+                        mean2d_offset_ndc=offsets[b],
+                        impl=impl, max_instances=max_instances,
+                        tile_cap=tile_cap, chunk=chunk,
+                    )
+                    l1s.append(l1_loss(out.color, targets[b]))
+                    lps.append(perceptual(out.color, targets[b])
+                               if perceptual is not None else 0.0)
+                    if with_inject:
+                        injs.append(jnp.sum(
+                            out.color * jax.lax.stop_gradient(inject_grad[b])
+                        ))
+                    radii_max = jnp.maximum(radii_max, out.radii)
+                    vis_any = vis_any | out.visible
+                    ovf = ovf | out.overflow
+
+                loss_l1 = jnp.mean(jnp.stack(l1s))
+                loss_p = (jnp.mean(jnp.stack(lps))
+                          if perceptual is not None else 0.0)
+                loss_inject = (jnp.sum(jnp.stack(injs)) if with_inject
+                               else jnp.asarray(0.0))
 
             anchors = anchor_loss(s)
             total = (
