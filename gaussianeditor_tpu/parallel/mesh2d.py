@@ -9,11 +9,13 @@ collective over ICI); densify statistics reduce with psum/pmax over
 both axes, reproducing single-device semantics bit-for-bit up to fp
 summation order.
 
-Losses must be strip-decomposable: L1 is (equal strips => the mean of
-strip means is the image mean); SSIM/LPIPS are not (their windows cross
-strip boundaries), so this step supports the L1+anchor objective — the
-canonical editing loss with `lambda_p` handled by the view-sharded step
-or a strip-halo extension (docs/tile_sharding.md, next steps).
+The FULL reference editing objective runs here (lambda_l1 + lambda_p +
+anchors, GassuianEditorEdit.py:133-145): L1 is strip-decomposable;
+window losses cross strip boundaries and are made exact by
+parallel/halo.py — ppermute row halos for SSIM, differentiable
+full-image reassembly for LPIPS (see that module for the
+receptive-field tradeoff). Verified against the single-device step on a
+2x2 virtual mesh with lambda_p > 0 (tests/test_mesh2d.py).
 
 Targets shard over BOTH axes: [B, H, W, 3] with P(view, tile) — each
 chip holds only its views' strip rows.
@@ -30,6 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gaussianeditor_tpu.core.cameras import Camera
 from gaussianeditor_tpu.ops.preprocess import TILE
+from gaussianeditor_tpu.parallel.halo import gather_rows
 from gaussianeditor_tpu.parallel.tile_sharded import render_strip
 from gaussianeditor_tpu.train.anchors import anchor_loss
 from gaussianeditor_tpu.train.densify import add_densification_stats
@@ -47,12 +50,22 @@ def make_2d_train_step(
     tile_axis: str = "tile",
     impl: Optional[str] = None,
     max_instances: Optional[int] = None,
+    perceptual: Optional[callable] = None,
 ):
     """Build the jitted (view x tile)-sharded train step.
 
     cam_batch leaves / targets need batch divisible by mesh[view_axis];
     the image height must split into mesh[tile_axis] equal tile-row
     strips.
+
+    perceptual: optional full-image JAX-traceable (pred [H, W, 3],
+    target) -> scalar (LPIPS, train/lpips_jax.py). With it the 2-D step
+    trains the COMPLETE reference editing objective (lambda_l1 +
+    lambda_p + anchors, GassuianEditorEdit.py:133-145): the strip
+    renders are reassembled per chip via a differentiable all_gather
+    (parallel/halo.py:gather_rows — see there for why VGG's ~212 px
+    receptive field makes row halos the wrong exchange for LPIPS, while
+    SSIM gets true ppermute halos via ssim_sharded).
     """
     n_tile = mesh.shape[tile_axis]
 
@@ -86,8 +99,10 @@ def make_2d_train_step(
             def loss_for_grad(params, offsets):
                 s = scene.replace(params=params)
                 l1 = 0.0
+                lp = 0.0
                 radii_max = jnp.zeros((C,), jnp.int32)
                 vis_any = jnp.zeros((C,), bool)
+                ovf = jnp.asarray(False)
                 for b in range(B_local):
                     leaves = [x[b] for x in local_cam_leaves]
                     cam = jax.tree_util.tree_unflatten(cam_treedef, leaves)
@@ -97,11 +112,21 @@ def make_2d_train_step(
                         mean2d_offset_ndc=offsets[b],
                     )
                     l1 = l1 + l1_loss(out.color, local_targets[b])
+                    if perceptual is not None:
+                        # full-image reassembly per chip: replicated
+                        # VGG compute on the tile axis, exact gradients
+                        # (gather VJP psum-scatters); / n_tiles_ax so
+                        # the psum counts each view's LPIPS once
+                        full_pred = gather_rows(out.color, tile_axis)
+                        full_tgt = gather_rows(local_targets[b], tile_axis)
+                        lp = lp + perceptual(full_pred, full_tgt)
                     radii_max = jnp.maximum(radii_max, out.radii)
                     vis_any = vis_any | out.visible
+                    ovf = ovf | out.overflow
                 anchors = anchor_loss(scene.replace(params=params))
                 local_total = (
                     weights.lambda_l1 * l1 / (B_global * n_tiles_ax)
+                    + weights.lambda_p * lp / (B_global * n_tiles_ax)
                     + (
                         weights.lambda_anchor_color
                         * anchors["loss_anchor_color"]
@@ -112,10 +137,12 @@ def make_2d_train_step(
                         * anchors["loss_anchor_opacity"]
                     ) / (n_view * n_tiles_ax)
                 )
-                return local_total, (l1, radii_max, vis_any, anchors)
+                return local_total, (l1, lp, radii_max, vis_any, anchors,
+                                     ovf)
 
             offsets0 = jnp.zeros((B_local, C, 2), jnp.float32)
-            (local_total, (l1, radii_max, vis_any, anchors)), (g, og) = (
+            (local_total,
+             (l1, lp, radii_max, vis_any, anchors, ovf)), (g, og) = (
                 jax.value_and_grad(loss_for_grad, argnums=(0, 1),
                                    has_aux=True)(scene.params, offsets0)
             )
@@ -125,10 +152,15 @@ def make_2d_train_step(
                 lambda x: jax.lax.psum(x, both), g)
             total = jax.lax.psum(local_total, both)
             loss_l1 = jax.lax.psum(l1, both) / (B_global * n_tiles_ax)
+            loss_p = jax.lax.psum(lp, both) / (B_global * n_tiles_ax)
             vgrad = jax.lax.psum(jnp.sum(og, axis=0), both)
             vnorm = jnp.linalg.norm(vgrad, axis=-1)
             radii_g = jax.lax.pmax(radii_max, both)
             vis_g = jax.lax.pmax(vis_any.astype(jnp.int32), both) > 0
+            # instance-budget truncation anywhere on the mesh must not be
+            # silent: OR over both axes, surfaced exactly as the
+            # single-device step's metric (train/trainer.py)
+            ovf_g = jax.lax.pmax(ovf.astype(jnp.int32), both) > 0
 
             stats = add_densification_stats(state.stats, vnorm, radii_g,
                                             vis_g)
@@ -142,7 +174,8 @@ def make_2d_train_step(
                 stats=stats,
                 step=state.step + 1,
             )
-            metrics = {"loss": total, "loss_l1": loss_l1, **anchors}
+            metrics = {"loss": total, "loss_l1": loss_l1,
+                       "loss_p": loss_p, "overflow": ovf_g, **anchors}
             return new_state, metrics
 
         return sharded(state, tuple(cam_leaves), targets)

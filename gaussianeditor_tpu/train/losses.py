@@ -26,9 +26,17 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair; separable
-    Gaussian window, SAME padding — matching loss_utils.py:23-43."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
+             window_size: int = 11, rows: str = "SAME") -> jnp.ndarray:
+    """Per-pixel SSIM map of an [H, W, C] / [B, H, W, C] pair; separable
+    Gaussian window, matching loss_utils.py:23-43.
+
+    rows: padding mode for the H axis. "SAME" = whole-image semantics
+    (zero pad). "VALID" = the inputs carry (window_size-1)/2 pre-filled
+    halo rows on both sides (parallel/halo.py strip exchange) and the
+    map comes back trimmed to the interior — the sharded-exact path.
+    The W axis is always SAME (columns are never sharded).
+    """
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
     w = jnp.asarray(_gaussian_window(window_size))
@@ -40,9 +48,9 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
         kw = w.reshape(1, 1, 1, window_size)
         b, c, h, wd = x.shape
         x = x.reshape(b * c, 1, h, wd)
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME")
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), rows)
         x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME")
-        x = x.reshape(b, c, h, wd)
+        x = x.reshape(b, c, -1, wd)
         return jnp.moveaxis(x, 1, -1)
 
     mu1, mu2 = blur(img1), blur(img2)
@@ -52,7 +60,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     sigma12 = blur(img1 * img2) - mu12
 
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair; separable
+    Gaussian window, SAME padding — matching loss_utils.py:23-43."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
