@@ -178,7 +178,13 @@ def main(argv=None) -> None:
     from gaussianeditor_tpu.models.gaussians import GaussianScene
     from gaussianeditor_tpu.models.ply import load_ply, ply_vertex_count, save_ply
 
-    h, w = int(cfg.get("height", 512)), int(cfg.get("width", 512))
+    # height/width may be LISTS with resolution_milestones (the
+    # reference's data block, gs_load.py:174-208): cameras are built at
+    # the first size; the edit system steps through the schedule
+    hs, ws = cfg.get("height", 512), cfg.get("width", 512)
+    h_list = hs if isinstance(hs, (list, tuple)) else [hs]
+    w_list = ws if isinstance(ws, (list, tuple)) else [ws]
+    h, w = int(h_list[0]), int(w_list[0])
     scene_cams = CamScene(cfg["colmap_dir"], h=h, w=w)
     cap_mult = float(cfg.get("capacity_multiplier", 4))
 
@@ -195,6 +201,16 @@ def main(argv=None) -> None:
     logger = MetricsLogger(trial_dir)
     sys_cfg = dict(cfg.get("system", {}))
     sys_cfg.setdefault("cameras_extent", scene_cams.cameras_extent)
+    if len(h_list) > 1 and mode == "edit":
+        # route the reference-style data schedule into the edit system
+        sys_cfg.setdefault("heights", [int(x) for x in h_list])
+        sys_cfg.setdefault("widths", [int(x) for x in w_list])
+        sys_cfg.setdefault("resolution_milestones",
+                           list(cfg.get("resolution_milestones", [])))
+        if isinstance(sys_cfg.get("batch_size"), (list, tuple)):
+            bs_list = list(sys_cfg["batch_size"])
+            sys_cfg["batch_size"] = int(bs_list[0])
+            sys_cfg.setdefault("batch_sizes", [int(x) for x in bs_list])
 
     system = None
     if mode == "edit":
