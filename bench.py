@@ -5,21 +5,28 @@ render (forward + backward through the tiled compositor) at the
 reference's canonical editing resolution (512x512,
 configs/edit-n2n.yaml) on a synthetic ~100k-Gaussian scene.
 
-The reference publishes no benchmark tables (BASELINE.md); its README
-claims 2-7 min/edit on an RTX 3090 with GS render+backprop described as
-"extremely fast". As the comparison anchor we use 26.2 Mpix/s =
-512*512*100/1e6 — i.e. 100 fwd+bwd frames/s at 512^2, a conservative
-estimate of the CUDA rasterizer's speed on that hardware — so
-vs_baseline > 1.0 means faster than the reference's rasterizer.
+The reference publishes no benchmark tables; the 26 Mpix/s comparison
+anchor is DERIVED in BASELINE.md ("Anchor derivation", anchor 1) from an
+op-count cost model of the reference's own forward.cu/backward.cu inner
+loops plus published GA102-class measurements of the identical Inria
+kernels (band 15-40, two independent estimates intersecting at 25-30).
+vs_baseline > 1.0 means faster than the reference's rasterizer fwd+bwd
+on its own hardware at this scene density.
+
+The timed loop runs REPEATS times and reports the MEDIAN: the single-chip
+tunnel shows +-20% run-to-run variance, which would otherwise swamp
+round-over-round deltas.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
 
 
-BASELINE_MPIX_S = 26.2
+BASELINE_MPIX_S = 26.0  # BASELINE.md "Anchor derivation", anchor 1
+REPEATS = 5
 
 
 def main() -> None:
@@ -80,9 +87,12 @@ def main() -> None:
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
     jax.block_until_ready(bench_loop(scene.params))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(bench_loop(scene.params))
-    dt = (time.perf_counter() - t0) / n_iter
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(bench_loop(scene.params))
+        times.append((time.perf_counter() - t0) / n_iter)
+    dt = statistics.median(times)
 
     mpix_s = hw * hw / dt / 1e6
     print(
