@@ -142,6 +142,38 @@ class MetricsLogger:
         self.f.flush()
 
 
+class TensorBoardLogger:
+    """TensorBoard scalar logger behind the same callback interface —
+    the reference's TensorboardLogger slot (launch.py:110-169, enabled
+    per trial dir). Degrades to a no-op with a warning if tensorboard
+    is unavailable in the environment."""
+
+    def __init__(self, out_dir: str):
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(out_dir, "tb"))
+        except Exception as e:  # logging must never kill training
+            import warnings
+
+            warnings.warn(f"tensorboard unavailable ({e}); TB logging off")
+
+    def __call__(self, step: int, metrics: dict) -> None:
+        if self.writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.flush()
+            self.writer.close()
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -278,14 +310,20 @@ def main(argv=None) -> None:
         if args.resume:
             system.resume(args.resume)
         progress = ProgressWriter(trial_dir, system.cfg.max_steps)
+        tb = (TensorBoardLogger(trial_dir)
+              if cfg.get("tensorboard", False) else None)
 
         def _cb(step, metrics):
             logger(step, metrics)
             progress(step, metrics)
+            if tb is not None:
+                tb(step, metrics)
 
         remaining = system.cfg.max_steps - (
             int(system.state.step) if system.state is not None else 0)
         system.fit(n_steps=max(remaining, 0), callback=_cb)
+        if tb is not None:
+            tb.close()
     elif args.train and mode == "add" and system.cfg.refine_steps > 0:
         from gaussianeditor_tpu.guidance.fake import FakeGuidance
 

@@ -170,6 +170,13 @@ class EditSystem:
     ):
         self.scene = scene
         self.cameras = list(cameras)
+        if config.prompt.startswith("lib:"):
+            # "lib:keyword_keyword" prompt-library lookup
+            # (prompt_processors/base.py:297-298)
+            from gaussianeditor_tpu.guidance.prompts import resolve_prompt
+
+            config = dataclasses.replace(
+                config, prompt=resolve_prompt(config.prompt))
         self.cfg = config
         # Primary guidance produces edited TARGET images (iterative
         # dataset update). May be None when training on score

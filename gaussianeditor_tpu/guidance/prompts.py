@@ -221,3 +221,56 @@ class BertViewProbe:
         probs = torch.softmax(logits[0, mask_idx], dim=-1)[0, self.view_ids]
         probs = probs / probs.sum()
         return probs.numpy()
+
+
+# --- prompt library lookup (base.py:297-298, :417-437) ---
+
+# A small first-party library in the reference's JSON shape
+# ({"dreamfusion": [prompt, ...]}); `library_path` loads a user file —
+# including the reference's own load/prompt_library.json — in the same
+# format.
+DEFAULT_PROMPT_LIBRARY = {
+    "dreamfusion": [
+        "a DSLR photo of a hamburger",
+        "a DSLR photo of a panda wearing a chef hat",
+        "a marble statue of a lion",
+        "a ripe strawberry on a plate",
+        "a zoomed out DSLR photo of a wizard raccoon casting a spell",
+        "a blue jay standing on a large basket of rainbow macarons",
+        "a plush dragon toy",
+        "an astronaut riding a horse",
+    ]
+}
+
+
+def resolve_prompt(prompt: str, library: Optional[dict] = None,
+                   library_path: Optional[str] = None) -> str:
+    """Reference `preprocess_prompt` (base.py:417-437): a prompt of the
+    form "lib:keyword1_keyword2" resolves to the UNIQUE library entry
+    containing every keyword (case-insensitive); zero or multiple
+    matches raise ValueError. Plain prompts pass through unchanged."""
+    if not prompt.startswith("lib:"):
+        return prompt
+    if library is None:
+        if library_path is not None:
+            import json
+
+            with open(library_path) as f:
+                library = json.load(f)
+        else:
+            library = DEFAULT_PROMPT_LIBRARY
+    keywords = prompt[4:].lower().split("_")
+    candidate = None
+    for entry in library["dreamfusion"]:
+        if all(k in entry.lower() for k in keywords):
+            if candidate is not None:
+                raise ValueError(
+                    f"Multiple prompts matched with keywords {keywords} "
+                    "in library"
+                )
+            candidate = entry
+    if candidate is None:
+        raise ValueError(
+            f"Cannot find prompt with keywords {keywords} in library"
+        )
+    return candidate

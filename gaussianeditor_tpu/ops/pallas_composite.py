@@ -289,27 +289,30 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             m = (~skipped) & (pos < nc)  # contributed in forward
 
             lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
-            excl = _dot(lf, _tri_incl(), ((1,), (0,))) - lf
-            total = jnp.sum(lf, axis=-1, keepdims=True)
+            # ONE tri product serves prefix AND total (see the sorted
+            # kernel): its last column is the all-lanes sum
+            cum_lf = _dot(lf, _tri_incl(), ((1,), (0,)))
+            excl = cum_lf - lf
+            total = cum_lf[:, CHUNK - 1:CHUNK]
             # T before instance k, reconstructed in log space going forward
             T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))  # [PX, CHUNK]
             mf = m.astype(jnp.float32)
-            u = mf * alpha * T_k * c_hat
-            u_total = jnp.sum(u, axis=-1, keepdims=True)
+            w = mf * alpha * T_k
+            u = w * c_hat
             # suffix sum over instances AFTER k: S_total - inclusive prefix
-            S_incl = s_sc[:] + _dot(u, _tri_incl(), ((1,), (0,)))
+            Su = _dot(u, _tri_incl(), ((1,), (0,)))
+            S_incl = s_sc[:] + Su
+            u_total = Su[:, CHUNK - 1:CHUNK]
             S_at = stot_sc[:] - S_incl
 
             f = 1.0 - alpha
             dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
             # fold the alpha-cap gradient gate into one multiply
             dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
-            dop = dac * g_exp
             dpower = dac * alpha
 
-            w = mf * alpha * T_k
             gfeat = _dot(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
 
             # The six per-instance pixel reductions decompose through the
@@ -332,8 +335,8 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
             sdyy = ys * ys * m0 - 2.0 * ys * my + myy
             sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
-            dop_row = _dot(jnp.ones((1, PX), jnp.float32), dop,
-                           ((1,), (0,)))
+            # exact identity sum_p dac*g_exp = m0/op (see sorted kernel)
+            dop_row = m0 * jnp.where(op > 0.0, 1.0 / op, 0.0)
 
             rows = jnp.concatenate(
                 [
@@ -552,26 +555,26 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             m = (~skipped) & (pos < nc)
 
             lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
-            excl = _dot(lf, _tri_incl(), ((1,), (0,))) - lf
-            total = _dot(lf, jnp.ones((CHUNK, 1), jnp.float32), ((1,), (0,)))
+            # ONE tri product serves prefix AND total: its last column is
+            # the all-lanes sum (removes the [CHUNK,1] N=1 MXU dot)
+            cum_lf = _dot(lf, _tri_incl(), ((1,), (0,)))
+            excl = cum_lf - lf
+            total = cum_lf[:, CHUNK - 1:CHUNK]
             T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))
             mf = m.astype(jnp.float32)
             w = mf * alpha * T_k
             u = w * c_hat
-            # lane reductions ride the MXU (a [PX,CHUNK]x[CHUNK,1] dot):
-            # ~7 shifted VPU adds each otherwise
-            ones_c = jnp.ones((CHUNK, 1), jnp.float32)
-            u_total = _dot(u, ones_c, ((1,), (0,)))
-            S_incl = s_sc[:] + _dot(u, _tri_incl(), ((1,), (0,)))
+            Su = _dot(u, _tri_incl(), ((1,), (0,)))
+            S_incl = s_sc[:] + Su
+            u_total = Su[:, CHUNK - 1:CHUNK]
             S_at = stot_sc[:] - S_incl
 
             f = 1.0 - alpha
             dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
             # fold the alpha-cap gradient gate into one multiply
             dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
-            dop = dac * g_exp
             dpower = dac * alpha
 
             gfeat = _dot(g_acc, w, ((0,), (0,)))
@@ -590,8 +593,12 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
             sdyy = ys * ys * m0 - 2.0 * ys * my + myy
             sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
-            dop_row = _dot(jnp.ones((1, PX), jnp.float32), dop,
-                           ((1,), (0,)))
+            # opacity row via the EXACT identity sum_p dac*g_exp = m0/op:
+            # alpha = op*g_exp wherever the cap gate passes (dac = 0
+            # where it doesn't), so dpower = op*(dac*g_exp) lanewise —
+            # removes the dop array and its M=1 MXU dot. op > 0 on every
+            # lane with m (alpha >= ALPHA_MIN needs op >= ALPHA_MIN).
+            dop_row = m0 * jnp.where(op > 0.0, 1.0 / op, 0.0)
 
             rows = jnp.concatenate(
                 [

@@ -115,3 +115,17 @@ class TestCameraMath:
         # rounding to integer pixels costs some accuracy
         err = np.linalg.norm(back - pts, axis=1)
         assert np.median(err) < 0.05
+
+
+class TestTensorBoardLogger:
+    def test_writes_event_file_and_degrades_gracefully(self, tmp_path):
+        from gaussianeditor_tpu.apps.launch import TensorBoardLogger
+
+        tb = TensorBoardLogger(str(tmp_path))
+        tb(0, {"loss": 1.0, "skipme": object()})
+        tb(1, {"loss": 0.5})
+        tb.close()
+        if tb.writer is not None:
+            import glob
+            files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+            assert files, "no TB event file written"

@@ -125,3 +125,48 @@ class TestPromptDebiasing:
         # "red" is word 1 but only word 0 may be debiased -> unchanged
         out = get_debiased_prompts("a red car", probe, mask_ids=[0])
         assert out == ["a red car"] * 4
+
+
+class TestPromptLibrary:
+    def test_lib_lookup_unique(self):
+        from gaussianeditor_tpu.guidance.prompts import resolve_prompt
+
+        assert resolve_prompt("plain prompt") == "plain prompt"
+        out = resolve_prompt("lib:hamburger")
+        assert out == "a DSLR photo of a hamburger"
+
+    def test_lib_lookup_multi_and_missing(self):
+        import pytest
+
+        from gaussianeditor_tpu.guidance.prompts import resolve_prompt
+
+        with pytest.raises(ValueError, match="Multiple"):
+            resolve_prompt("lib:a")  # 'a' matches many entries
+        with pytest.raises(ValueError, match="Cannot find"):
+            resolve_prompt("lib:xyzzy_unfindable")
+
+    def test_lib_lookup_reference_format_file(self, tmp_path):
+        import json
+
+        from gaussianeditor_tpu.guidance.prompts import resolve_prompt
+
+        p = tmp_path / "lib.json"
+        p.write_text(json.dumps(
+            {"dreamfusion": ["a red fox", "a blue whale"]}))
+        assert resolve_prompt("lib:red_fox",
+                              library_path=str(p)) == "a red fox"
+
+    def test_edit_system_resolves_lib_prompt(self):
+        from gaussianeditor_tpu.core.cameras import orbit_cameras
+        from gaussianeditor_tpu.edit.edit_system import EditConfig, EditSystem
+        from gaussianeditor_tpu.guidance.fake import FakeGuidance
+        from tests.helpers import random_scene
+
+        sys_ = EditSystem(
+            random_scene(10, seed=0),
+            orbit_cameras(2, 4.0, 0.8, 0.8, 32, 32),
+            EditConfig(prompt="lib:hamburger", batch_size=1, max_steps=1,
+                       max_instances=2048, tile_cap=256, chunk=32),
+            guidance=FakeGuidance(), perceptual=None,
+        )
+        assert sys_.cfg.prompt == "a DSLR photo of a hamburger"
