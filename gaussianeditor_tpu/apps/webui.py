@@ -49,7 +49,10 @@ label{font-size:12px;color:#aaa}#log{font-size:11px;white-space:pre-wrap}
 <label>semantic prompt</label><input id=segp placeholder="e.g. the bear">
 <label>mask threshold</label><input id=thres type=number value=0.5 step=0.1>
 <button onclick="trace()">trace mask</button>
+<label>semantic group</label><select id=groups onchange="setGroup()"></select>
 <label><input id=overlay type=checkbox style="width:auto"> semantic overlay</label>
+<label>edited-frame view</label><input id=efv type=number value=0>
+<button onclick="showFrame()">show edited frame</button>
 <hr><label>edit prompt</label><input id=editp placeholder="make it golden">
 <label>inpaint prompt (delete)</label><input id=inpp placeholder="background">
 <label>steps</label><input id=steps type=number value=400>
@@ -92,7 +95,14 @@ img.onwheel=e=>{r=Math.max(0.5,r*(1+e.deltaY*0.001));refresh();e.preventDefault(
 async function post(u,b){const r=await fetch(u,{method:'POST',body:JSON.stringify(b)});
   log(await r.text());refresh();}
 function trace(){post('/trace',{prompt:document.getElementById('segp').value,
-  threshold:+document.getElementById('thres').value});}
+  threshold:+document.getElementById('thres').value});loadGroups();}
+async function loadGroups(){const g=await (await fetch('/groups')).json();
+  const sel=document.getElementById('groups');sel.innerHTML='';
+  for(const n of g.groups){const o=document.createElement('option');
+    o.value=o.textContent=n;if(n===g.active)o.selected=true;sel.appendChild(o);}}
+function setGroup(){post('/group',{name:document.getElementById('groups').value});}
+function showFrame(){img.src=`/editframe?view=${+document.getElementById('efv').value}`+
+  `&t=${Date.now()}`;}
 function startEdit(){post('/edit',{prompt:document.getElementById('editp').value,
   steps:+document.getElementById('steps').value,mode:document.getElementById('mode').value,
   inpaint_prompt:document.getElementById('inpp').value});
@@ -140,6 +150,14 @@ class WebUIState:
         self.stop_flag = False
         self.last_metrics = {}
         self._render_cache = {}
+        # named semantic groups (reference webui.py:540-558): every
+        # trace stores its Gaussian mask under the prompt; switching
+        # groups re-installs mask + grad gating instantly
+        self.semantic_masks = {}
+        self.active_group = ""
+        # the live training system, for the edited-frame browser
+        # (reference edit_frame_show, webui.py:560-566)
+        self._active_system = None
         self._jnp = jnp
         self._render = render
         self._jax = jax
@@ -229,10 +247,13 @@ class WebUIState:
             )
             self.scene = self.scene.update_anchor()
             n_sel = int(np.asarray(self.scene.mask).sum())
-        return {"selected": n_sel, "total": int(self.scene.n_alive)}
+            self.semantic_masks[prompt] = np.asarray(self.scene.mask)
+            self.active_group = prompt
+        return {"selected": n_sel, "total": int(self.scene.n_alive),
+                "group": prompt, "groups": list(self.semantic_masks)}
 
     def click_trace(self, view: int, x: float, y: float,
-                    threshold: float) -> dict:
+                    threshold: float, group: str = "") -> dict:
         """Click-prompt tracing (webui.py:890-958) with the pluggable
         point segmentor (falls back to the text segmentor's color logic)."""
         from gaussianeditor_tpu.edit.tracing import trace_from_click
@@ -248,7 +269,53 @@ class WebUIState:
             )
             self.scene = self.scene.update_anchor()
             n_sel = int(np.asarray(self.scene.mask).sum())
-        return {"selected": n_sel, "total": int(self.scene.n_alive)}
+            name = group or f"click@{int(view)}"
+            self.semantic_masks[name] = np.asarray(self.scene.mask)
+            self.active_group = name
+        return {"selected": n_sel, "total": int(self.scene.n_alive),
+                "group": name, "groups": list(self.semantic_masks)}
+
+    def set_group(self, name: str) -> dict:
+        """Switch the active semantic group: re-install its stored mask
+        (and thereby the optimizer grad gating — scene.mask IS the grad
+        mask) without re-tracing (reference semantic_groups.on_update,
+        webui.py:554-558)."""
+        if name not in self.semantic_masks:
+            return {"error": f"unknown group '{name}'",
+                    "groups": list(self.semantic_masks)}
+        jnp = self._jnp
+        with self.lock:
+            self.scene = self.scene.set_mask(
+                jnp.asarray(self.semantic_masks[name]))
+            self.scene = self.scene.update_anchor()
+            self.active_group = name
+            n_sel = int(np.asarray(self.scene.mask).sum())
+        return {"group": name, "selected": n_sel,
+                "groups": list(self.semantic_masks)}
+
+    def groups(self) -> dict:
+        return {"groups": list(self.semantic_masks),
+                "active": self.active_group}
+
+    def edit_frame_png(self, view: int):
+        """Current edited TARGET image for a view — the per-view frame
+        preview (reference edit_frame_show + per-frustum frames,
+        webui.py:560-566). Falls back to the origin render when the view
+        has no edited target yet; None when no training has started."""
+        sys_ = self._active_system
+        if sys_ is None:
+            return None
+        frame = sys_.edit_frames.get(int(view))
+        if frame is None:
+            frame = sys_.origin_frames.get(int(view))
+        if frame is None:
+            return None
+        import imageio.v2 as imageio
+
+        buf = io.BytesIO()
+        imageio.imwrite(buf, (np.clip(frame, 0, 1) * 255).astype(np.uint8),
+                        format="png")
+        return buf.getvalue()
 
     def update_config(self, updates: dict) -> dict:
         """Densify / LR / loss / anchor / schedule knobs — the sliders of
@@ -344,6 +411,7 @@ class WebUIState:
                 system = DelSystem(self.scene, self.cameras, cfg,
                                    inpainter=self.inpainter,
                                    segmentor=self.segmentor)
+                self._active_system = system
                 cb, stop = self._fit_callbacks()
 
                 def cb_sync(step, metrics):
@@ -368,6 +436,7 @@ class WebUIState:
             system = EditSystem(self.scene, self.cameras, cfg,
                                 guidance=self.guidance,
                                 segmentor=self.segmentor)
+            self._active_system = system
             cb, stop = self._fit_callbacks()
 
             def cb_sync(step, metrics):
@@ -477,6 +546,18 @@ def make_handler(state: WebUIState):
                 self._json({"training": state.training, **state.last_metrics})
             elif url.path == "/config":
                 self._json(state.update_config({}))
+            elif url.path == "/groups":
+                self._json(state.groups())
+            elif url.path == "/editframe":
+                q = parse_qs(url.query)
+                png = state.edit_frame_png(int(q.get("view", [0])[0]))
+                if png is None:
+                    return self._json({"error": "no frames yet"}, 404)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -495,7 +576,10 @@ def make_handler(state: WebUIState):
                     payload.get("view", 0), payload.get("x", 0),
                     payload.get("y", 0),
                     float(payload.get("threshold", 0.5)),
+                    group=payload.get("group", ""),
                 ))
+            elif url.path == "/group":
+                self._json(state.set_group(payload.get("name", "")))
             elif url.path == "/edit":
                 self._json(state.start_training(
                     payload.get("prompt", ""),

@@ -171,3 +171,63 @@ def test_bad_requests(server_url):
                                  method="POST")
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(req, timeout=30)
+
+
+def test_semantic_groups_switch_flips_mask(server_url):
+    """Trace two prompts, switch groups over HTTP, assert the scene mask
+    flips to each stored group (reference webui.py:540-558)."""
+    url, state = server_url
+    # FakeSegmentor derives its reference color from the prompt hash, so
+    # two prompts give different masks
+    o1 = _post(url + "/trace", {"prompt": "red thing", "threshold": 0.8})
+    m1 = np.asarray(state.scene.mask).copy()
+    o2 = _post(url + "/trace", {"prompt": "blue thing", "threshold": 0.2})
+    m2 = np.asarray(state.scene.mask).copy()
+    assert o1["group"] == "red thing" and o2["group"] == "blue thing"
+    assert set(o2["groups"]) >= {"red thing", "blue thing"}
+    assert (m1 != m2).any(), "prompts produced identical masks; bad test"
+
+    g = json.loads(_get(url + "/groups")[0])
+    assert g["active"] == "blue thing"
+
+    out = _post(url + "/group", {"name": "red thing"})
+    assert out["group"] == "red thing"
+    np.testing.assert_array_equal(np.asarray(state.scene.mask), m1)
+    out = _post(url + "/group", {"name": "blue thing"})
+    np.testing.assert_array_equal(np.asarray(state.scene.mask), m2)
+
+    out = _post(url + "/group", {"name": "nope"})
+    assert "error" in out
+
+
+def test_click_trace_named_group(server_url):
+    url, state = server_url
+    out = _post(url + "/click", {"view": 0, "x": 24, "y": 24,
+                                 "threshold": 0.5, "group": "my object"})
+    assert out["group"] == "my object"
+    assert "my object" in json.loads(_get(url + "/groups")[0])["groups"]
+
+
+def test_edit_frame_browser(server_url):
+    """After a training run, /editframe serves the per-view edited
+    target (reference edit-frame preview, webui.py:560-566)."""
+    url, state = server_url
+    # 404 only before any training ever started; module-scoped server may
+    # already have trained in an earlier test, so just require: after a
+    # run, frames are served.
+    out = _post(url + "/edit", {"prompt": "warm", "steps": 4,
+                                "mode": "edit"})
+    assert out.get("started")
+    for _ in range(240):
+        st = json.loads(_get(url + "/status")[0])
+        if not st["training"] and "loss" in st:
+            break
+        time.sleep(0.5)
+    png, ctype = _get(url + "/editframe?view=0")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG"
+    import io
+
+    import imageio.v2 as imageio
+
+    img = imageio.imread(io.BytesIO(png))
+    assert img.shape[:2] == (48, 48)
