@@ -25,10 +25,18 @@ ONE virtual render of a (B*grid_y, grid_x) tile grid:
   * ONE deterministic rank-space cumsum-difference over the union
     gradient rows (b_incl of the flat scene).
 
-Wins vs unrolled: the O(R log R) sort amortizes (one 2R-row sort beats
-two R-row sorts), kernel pipeline ramp-up is paid once, and every XLA
-glue stage (alignment scans, permutation gather, backward cumsum,
-scatter) runs once at 2R instead of twice at R.
+MEASURED OUTCOME (bench/prof_r17.py, one v5e chip, 512^2, batch 2,
+393k instances/view): batched fwd 26.6 ms vs unrolled 24.9; fwd+bwd
+50.3 vs 48.4. The batch fusion LOSES ~2 ms — an honest negative result
+kept for the record: on XLA the unrolled per-view renders already
+compile into ONE program (there is no per-view kernel-launch cost to
+amortize, unlike CUDA's per-view renderCUDA launches,
+forward.cu:396), while lax.sort is a sorting network whose cost grows
+as R log^2 R — one union sort of 2R rows costs ~22% more than two
+R-row sorts, and the linear stages (scans, gathers, cumsum, kernels)
+are the same work either way. The batched path therefore stays an
+OPTION (train_step batched=True) with full parity coverage
+(tests/test_render_batched.py) rather than the default.
 """
 
 from __future__ import annotations

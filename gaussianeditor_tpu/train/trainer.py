@@ -109,15 +109,18 @@ def make_train_step(
     instructpix2pix_guidance.py:285-297).
     batched: route the whole camera batch through ONE kernel-pair launch
     (ops/render_batched.py: one fat sort + one forward/backward Pallas
-    launch + one rank reduction for all B views). Default: on whenever
-    the production fat-sort compositor is the render path (TPU); the
-    unrolled per-view path remains for other impls and as a parity
-    oracle (tests/test_render_batched.py).
+    launch + one rank reduction for all B views). Default OFF — a
+    measured negative result (bench/prof_r17.py, v5e): XLA already
+    compiles the unrolled per-view renders into ONE program (there is no
+    per-view launch cost to save, unlike CUDA's per-view renderCUDA
+    launches), while the union fat sort pays the sorting network's
+    log^2 factor on 2R rows (+~2 ms/step at batch 2: fwd+bwd 50.3 ms
+    batched vs 48.4 unrolled). Kept as an option + parity oracle
+    (tests/test_render_batched.py); it may win on future hardware where
+    sort scales linearly.
     """
-    from gaussianeditor_tpu.ops.render import default_impl
-
     if batched is None:
-        batched = (impl or default_impl()) == "pallas"
+        batched = False
 
     @functools.partial(jax.jit, static_argnames=())
     def train_step(
