@@ -253,43 +253,46 @@ def sorted_bin(
         axis=1,
     )
 
-    # --- alignment maps: 1-D scans (as ops/binning_dense.py) ---
-    p = jnp.arange(R, dtype=jnp.int32)
-    is_b = jnp.concatenate([jnp.ones((1,), bool), stile[1:] != stile[:-1]])
-    tstart = jax.lax.cummax(jnp.where(is_b, p, -1))
-    off = p - tstart
-    tprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tstart[:-1]])
-    u = jnp.where(is_b & (p > 0), _pad_chunk(p - tprev), 0)
-    astart = jnp.cumsum(u)
-    a = astart + off
+    # --- alignment maps from tiny per-tile tables ---
+    # stile is SORTED (tile-major keys), so per-tile (first row, count)
+    # come from ONE [T+1]-query searchsorted instead of R-sized scans
+    # (the v4-era cummax/cumsum/reverse-cummin over R=393k rows measured
+    # ~0.9 ms; these tables are O(T log R) and the per-chunk metadata is
+    # O(NC log T) — bench/prof_r19.py).
+    T = num_tiles
+    bounds = jnp.searchsorted(
+        stile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)                         # [T+1]; bounds[T] = #live
+    cnt = bounds[1:] - bounds[:-1]              # [T] rows per tile
+    pad_cnt = _pad_chunk(cnt)
+    a_incl = jnp.cumsum(pad_cnt, dtype=jnp.int32)      # [T] span ends
+    a_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), a_incl])  # [T+1]
 
     cpos = jnp.arange(NC, dtype=jnp.int32) * CHUNK
-    p0 = jnp.searchsorted(a, cpos, side="left").astype(jnp.int32)
-    p0c = jnp.minimum(p0, R - 1)
-    st0 = stile[p0c]
-    as0 = astart[p0c]
-    ts0 = tstart[p0c]
-    nb_ = jnp.where(is_b, p, R)
-    nxt_incl = jax.lax.cummin(nb_[::-1])[::-1]
-    nxt = jnp.concatenate([nxt_incl[1:], jnp.full((1,), R, jnp.int32)])
-    rlen0 = nxt[p0c] - ts0
+    # owning tile: tile spans are contiguous [a_excl[t], a_excl[t+1])
+    owner = jnp.searchsorted(a_incl, cpos, side="right").astype(jnp.int32)
+    ownc = jnp.minimum(owner, T - 1)
+    offset_c = cpos - a_excl[ownc]
+    nvalid_c = jnp.clip(cnt[ownc] - offset_c, 0, CHUNK)
+    alive_c = (owner < T) & (nvalid_c > 0)
+    offset_c = jnp.where(alive_c, offset_c, 0)
+    nvalid_c = jnp.where(alive_c, nvalid_c, 0)
+    first_c = (alive_c & (offset_c == 0)).astype(jnp.int32)
+    tile_c = jnp.where(alive_c, ownc, 0)
 
-    alive_c = (p0 < R) & (as0 <= cpos) & (st0 < num_tiles)
-    offset_c = jnp.where(alive_c, cpos - as0, 0)
-    nvalid_c = jnp.where(alive_c, jnp.clip(rlen0 - offset_c, 0, CHUNK), 0)
-    first_c = (alive_c & (offset_c == 0) & (nvalid_c > 0)).astype(jnp.int32)
-    tile_c = jnp.where(alive_c, jnp.clip(st0, 0, num_tiles - 1), 0)
+    tile_nonempty = cnt > 0
 
-    tile_nonempty = (
-        jnp.zeros((num_tiles,), jnp.int32)
-        .at[tile_c].max(alive_c.astype(jnp.int32))
-        .astype(bool)
-    )
-
-    # sorted row of the chunk's first lane: ts0 + offset within the tile
-    row0 = jnp.where(alive_c, ts0 + offset_c, 0)
+    # sorted row of the chunk's first lane
+    row0 = jnp.where(alive_c, bounds[ownc] + offset_c, 0)
     qblk = row0 // CHUNK
     shift = row0 - qblk * CHUNK
+
+    # aligned position of each sorted row (consumed only via a_by_rank):
+    # dead rows land past every live span (bounded by R2 - 1, where the
+    # kernel-zeroed tail keeps their gathered gradient rows zero)
+    p = jnp.arange(R, dtype=jnp.int32)
+    stc = jnp.minimum(stile, T)
+    a = jnp.minimum(a_excl[stc] + (p - bounds[stc]), NC * CHUNK - 1)
 
     # --- backward map: aligned position of each pre-sort rank ---
     _, a_by_rank = jax.lax.sort((srank, a), num_keys=1, is_stable=True)

@@ -92,6 +92,14 @@ def _tri_strict_after():
     return (j > k).astype(jnp.float32)
 
 
+def _tri_excl():
+    """[CHUNK, CHUNK]: tri[j,k] = 1 if j < k; x @ tri = EXCLUSIVE prefix
+    sum along lanes (saves the cum - x subtract per use)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (j < k).astype(jnp.float32)
+
+
 def _dot(a, b, dims):
     # HIGHEST: full-f32 MXU passes. DEFAULT (single-pass bf16) visibly
     # corrupts the transmittance prefix sums; Precision.HIGH (bf16x3)
@@ -167,24 +175,25 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             dx = xs - pixf_x            # [PX, CHUNK]
             dy = ys - pixf_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            # exponent clamp: power > 0 is skipped; garbage conics on
-            # padding slots would overflow exp (0*inf -> NaN in grads)
-            alpha = jnp.minimum(ALPHA_MAX,
-                                op * jnp.exp(jnp.minimum(power, 0.0)))
+            # PD conic -> power <= 0 up to rounding; no exp clamp needed
+            # (padding slots have conic = op = 0 -> alpha = 0, culled)
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
 
-            lf = jnp.where(skipped, 0.0, jnp.log1p(-alpha))
-            cum = _dot(lf, _tri_incl(), ((1,), (0,)))  # inclusive prefix
-            TP = T * jnp.exp(cum)
+            alpha_s = jnp.where(skipped, 0.0, alpha)
+            lf = jnp.log1p(-alpha_s)
+            excl = _dot(lf, _tri_excl(), ((1,), (0,)))  # exclusive prefix
+            TPx = T * jnp.exp(excl)
+            TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
             contributes = not_done_px & (~skipped) & (TP >= T_MIN)
             crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
                               keepdims=True)
             done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
 
-            w = jnp.where(contributes, alpha * T * jnp.exp(cum - lf), 0.0)
+            w = jnp.where(contributes, alpha * TPx, 0.0)
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
             acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
 
@@ -279,7 +288,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             dx = xs - pixf_x
             dy = ys - pixf_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            g_exp = jnp.exp(jnp.minimum(power, 0.0))
+            g_exp = jnp.exp(power)  # PD conic: no clamp (see forward)
             alpha_raw = op * g_exp
             alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
 
@@ -288,30 +297,27 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
             m = (~skipped) & (pos < nc)  # contributed in forward
 
-            lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
-            # ONE tri product serves prefix AND total (see the sorted
-            # kernel): its last column is the all-lanes sum
-            cum_lf = _dot(lf, _tri_incl(), ((1,), (0,)))
-            excl = cum_lf - lf
-            total = cum_lf[:, CHUNK - 1:CHUNK]
+            # masked alpha absorbs the select into log1p(0) = 0 and
+            # replaces every later mf multiply (see the sorted kernel)
+            alpha_m = jnp.where(m, alpha, 0.0)
+            lf = jnp.log1p(-alpha_m)
+            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
             # T before instance k, reconstructed in log space going forward
             T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))  # [PX, CHUNK]
-            mf = m.astype(jnp.float32)
-            w = mf * alpha * T_k
+            w = alpha_m * T_k
             u = w * c_hat
             # suffix sum over instances AFTER k: S_total - inclusive prefix
             Su = _dot(u, _tri_incl(), ((1,), (0,)))
-            S_incl = s_sc[:] + Su
             u_total = Su[:, CHUNK - 1:CHUNK]
-            S_at = stot_sc[:] - S_incl
+            pre = stot_sc[:] - s_sc[:] + gT_term
+            sterm = pre - Su
 
-            f = 1.0 - alpha
-            dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
-            # fold the alpha-cap gradient gate into one multiply
-            dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
-            dpower = dac * alpha
+            f = 1.0 - alpha_m
+            amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
+            dpower = amc * (T_k * c_hat - sterm / f)
 
             gfeat = _dot(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
 
@@ -437,24 +443,31 @@ def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             dx = xs - pixf_x
             dy = ys - pixf_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX,
-                                op * jnp.exp(jnp.minimum(power, 0.0)))
+            # the conic is PD by construction (+0.3 LPF diagonal,
+            # preprocess.py:216-218), so power <= 0 up to rounding and the
+            # exp clamp is unneeded; padding lanes have conic = op = 0 ->
+            # alpha = 0, culled by ALPHA_MIN
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
 
-            lf = jnp.where(skipped, 0.0, jnp.log1p(-alpha))
-            cum = _dot(lf, _tri_incl(), ((1,), (0,)))
-            TP = T * jnp.exp(cum)
+            # masking alpha (not lf) lets log1p(0) = 0 absorb the select
+            alpha_s = jnp.where(skipped, 0.0, alpha)
+            lf = jnp.log1p(-alpha_s)
+            # EXCLUSIVE prefix: TPx = T before the instance; the forward
+            # weight is then alpha * TPx directly (no divide), and T after
+            # the instance is TPx * (1 - alpha_s)
+            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            TPx = T * jnp.exp(excl)
+            TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
             contributes = not_done_px & (~skipped) & (TP >= T_MIN)
             crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
                               keepdims=True)
             done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
 
-            # exp(cum - lf) == TP / (T (1-alpha)): reuse TP, saving one
-            # [PX, CHUNK] transcendental per chunk
-            w = jnp.where(contributes, alpha * TP / (1.0 - alpha), 0.0)
+            w = jnp.where(contributes, alpha * TPx, 0.0)
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
             acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
 
@@ -545,7 +558,7 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             dx = xs - pixf_x
             dy = ys - pixf_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            g_exp = jnp.exp(jnp.minimum(power, 0.0))
+            g_exp = jnp.exp(power)  # PD conic: no clamp (see forward)
             alpha_raw = op * g_exp
             alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
 
@@ -554,28 +567,31 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
             m = (~skipped) & (pos < nc)
 
-            lf = jnp.where(m, jnp.log1p(-alpha), 0.0)
-            # ONE tri product serves prefix AND total: its last column is
-            # the all-lanes sum (removes the [CHUNK,1] N=1 MXU dot)
-            cum_lf = _dot(lf, _tri_incl(), ((1,), (0,)))
-            excl = cum_lf - lf
-            total = cum_lf[:, CHUNK - 1:CHUNK]
+            # masking alpha (not lf) absorbs the select into log1p(0) = 0
+            # and replaces every later mf multiply
+            alpha_m = jnp.where(m, alpha, 0.0)
+            lf = jnp.log1p(-alpha_m)
+            # EXCLUSIVE-prefix tri: T_k needs exp(logT + excl) directly,
+            # and the all-lanes total is excl + lf at the last column
+            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
             T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))
-            mf = m.astype(jnp.float32)
-            w = mf * alpha * T_k
+            w = alpha_m * T_k
             u = w * c_hat
             Su = _dot(u, _tri_incl(), ((1,), (0,)))
-            S_incl = s_sc[:] + Su
             u_total = Su[:, CHUNK - 1:CHUNK]
-            S_at = stot_sc[:] - S_incl
+            # S_at + gT_term folded into one [PX,1] precombine: one big
+            # subtract instead of three [PX,CHUNK] adds/subs
+            pre = stot_sc[:] - s_sc[:] + gT_term
+            sterm = pre - Su
 
-            f = 1.0 - alpha
-            dalpha = mf * (T_k * c_hat - (S_at + gT_term) / f)
-            # fold the alpha-cap gradient gate into one multiply
-            dac = jnp.where(alpha_raw < ALPHA_MAX, dalpha, 0.0)
-            dpower = dac * alpha
+            f = 1.0 - alpha_m
+            # the alpha-cap gradient gate and the m mask fold into one
+            # masked alpha; dead lanes see f = 1 (no div hazard)
+            amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
+            dpower = amc * (T_k * c_hat - sterm / f)
 
             gfeat = _dot(g_acc, w, ((0,), (0,)))
 
@@ -681,14 +697,34 @@ def rank_space_reduce(rows_rank: jnp.ndarray, b_incl: jnp.ndarray,
     [C, GF].
     """
     GF = rows_rank.shape[1]
-    colmean = jnp.mean(rows_rank, axis=0, keepdims=True)
-    S = jnp.cumsum(rows_rank - colmean, axis=0, dtype=jnp.float32)
-    S = jnp.concatenate([jnp.zeros((1, GF), jnp.float32), S], axis=0)
+    assert R % CHUNK == 0
+    nblk = R // CHUNK
+    x = rows_rank.reshape(nblk, CHUNK, GF)
+    # Two-level scan replacing XLA's 1-D cumsum (19 log-shift passes over
+    # 25 MB, measured 2.1 ms at R=393k — bench/prof_r18.py): ONE batched
+    # MXU tri-matmul gives every intra-block EXCLUSIVE prefix (its
+    # flattened result is the intra-block prefix at every rank), and the
+    # block-level prefix runs over nblk rows only. Mean-centering now
+    # applies at the block-sum level: intra-block partials are <= CHUNK
+    # uncentered rows (bounded), the centered block prefix is a
+    # zero-drift walk of nblk steps instead of R.
+    ipx = jnp.einsum("kj,bkc->bjc", _tri_excl(), x,
+                     precision=jax.lax.Precision.HIGHEST)
+    P = ipx[:, CHUNK - 1, :] + x[:, CHUNK - 1, :]      # block totals
+    mu = jnp.mean(P, axis=0, keepdims=True)            # [1, GF]
+    bpc = jnp.concatenate(
+        [jnp.zeros((1, GF), jnp.float32),
+         jnp.cumsum(P - mu, axis=0, dtype=jnp.float32)], axis=0
+    )                                                  # [nblk+1, GF] excl
+    base = bpc + mu * jnp.arange(nblk + 1, dtype=jnp.float32)[:, None]
+    # S[b] = base[b // CHUNK] + ipx.flat[b]; fold base into the flat
+    # prefix table with one broadcast add (padding block keeps b = R valid)
+    S = (jnp.concatenate([ipx, jnp.zeros((1, CHUNK, GF), jnp.float32)])
+         + base[:, None, :]).reshape(-1, GF)
     b_hi = jnp.minimum(b_incl, R)
     b_lo = jnp.minimum(
         jnp.concatenate([jnp.zeros((1,), b_incl.dtype), b_incl[:-1]]), R)
-    return (S[b_hi] - S[b_lo]
-            + colmean * (b_hi - b_lo)[:, None].astype(jnp.float32))
+    return S[b_hi] - S[b_lo]
 
 
 @functools.lru_cache(maxsize=None)

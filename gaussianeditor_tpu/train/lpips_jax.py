@@ -176,6 +176,19 @@ def make_perceptual(weights_path: Optional[str] = None):
     w = find_weights(weights_path)
     if w is not None:
         return lambda pred, target: lpips(w, pred, target)
+    import warnings
+
+    warnings.warn(
+        "LPIPS weights not found (checked explicit path, "
+        f"${DEFAULT_WEIGHTS_ENV}, ~/.cache/gsedit/lpips_vgg16.npz); "
+        "the perceptual term falls back to the multiscale-gradient proxy. "
+        "Training behavior will differ from the reference's learned LPIPS "
+        "(lambda_p=10). Convert the official torchvision VGG16 + LPIPS "
+        "linear heads once with "
+        "gaussianeditor_tpu.train.lpips_jax.convert_torch_vgg16 + "
+        "save_weights.",
+        stacklevel=2,
+    )
     from gaussianeditor_tpu.train.perceptual import multiscale_gradient_loss
 
     return multiscale_gradient_loss

@@ -128,7 +128,8 @@ def test_weights_file_roundtrip(tmp_path, weights):
 
 def test_make_perceptual_defaults_to_proxy_without_weights(monkeypatch):
     monkeypatch.delenv(lpips_jax.DEFAULT_WEIGHTS_ENV, raising=False)
-    fn = lpips_jax.make_perceptual("/nonexistent/path.npz")
+    with pytest.warns(UserWarning, match="multiscale-gradient proxy"):
+        fn = lpips_jax.make_perceptual("/nonexistent/path.npz")
     from gaussianeditor_tpu.train.perceptual import multiscale_gradient_loss
 
     assert fn is multiscale_gradient_loss
