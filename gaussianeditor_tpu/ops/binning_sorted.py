@@ -253,12 +253,11 @@ def sorted_bin(
         axis=1,
     )
 
-    # --- alignment maps from tiny per-tile tables ---
+    # --- chunk metadata from tiny per-tile tables ---
     # stile is SORTED (tile-major keys), so per-tile (first row, count)
-    # come from ONE [T+1]-query searchsorted instead of R-sized scans
-    # (the v4-era cummax/cumsum/reverse-cummin over R=393k rows measured
-    # ~0.9 ms; these tables are O(T log R) and the per-chunk metadata is
-    # O(NC log T) — bench/prof_r19.py).
+    # come from ONE [T+1]-query searchsorted; the per-chunk metadata is
+    # then O(NC log T) small-table work instead of the v4-era R-sized
+    # reverse-cummin + NC-over-R searchsorted (bench/prof_r19/r20.py).
     T = num_tiles
     bounds = jnp.searchsorted(
         stile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
@@ -287,12 +286,20 @@ def sorted_bin(
     qblk = row0 // CHUNK
     shift = row0 - qblk * CHUNK
 
-    # aligned position of each sorted row (consumed only via a_by_rank):
-    # dead rows land past every live span (bounded by R2 - 1, where the
-    # kernel-zeroed tail keeps their gathered gradient rows zero)
+    # aligned position of each sorted row (consumed only via a_by_rank).
+    # Built from R-sized SCANS, not table gathers: an R-sized gather from
+    # a [T+1] table costs ~1.6 ms on this chip (gather-latency-bound,
+    # bench/prof_r20.py) and `a` would need two of them; the
+    # cummax+cumsum pair is ~0.9 ms total. Dead rows (stile > T marker)
+    # form one trailing segment whose aligned positions start at the
+    # CHUNK-aligned end of the live spans — they land only in inactive
+    # (kernel-zeroed) chunks, so their gathered gradient rows are zero.
     p = jnp.arange(R, dtype=jnp.int32)
-    stc = jnp.minimum(stile, T)
-    a = jnp.minimum(a_excl[stc] + (p - bounds[stc]), NC * CHUNK - 1)
+    is_b = jnp.concatenate([jnp.ones((1,), bool), stile[1:] != stile[:-1]])
+    tstart = jax.lax.cummax(jnp.where(is_b, p, -1))
+    tprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tstart[:-1]])
+    u = jnp.where(is_b & (p > 0), _pad_chunk(p - tprev), 0)
+    a = jnp.cumsum(u) + (p - tstart)
 
     # --- backward map: aligned position of each pre-sort rank ---
     _, a_by_rank = jax.lax.sort((srank, a), num_keys=1, is_stable=True)
