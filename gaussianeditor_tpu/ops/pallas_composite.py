@@ -109,6 +109,29 @@ def _dot(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+def _dot3(a, b_exact):
+    """`a @ b_exact` to full f32 accuracy in THREE single-pass bf16 MXU
+    dots (vs HIGHEST's six): valid whenever `b_exact` is exactly
+    representable in bf16 — the 0/1 triangular prefix masks are. `a`
+    splits into three 8-bit mantissa slices a1+a2+a3 (exact for f32's
+    24-bit mantissa); each slice-product is exact on the MXU with f32
+    accumulation, so the sum reproduces the f32 matmul up to summation
+    rounding. Measured -0.67 ms on the backward kernel's two tri dots
+    (bench/prof_r26.py)."""
+    a1 = a.astype(jnp.bfloat16)
+    r1 = a - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b_exact.astype(jnp.bfloat16)
+
+    def d(x):
+        return jax.lax.dot_general(
+            x, bb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return d(a1) + d(a2) + d(a3)
+
+
 class ChunkMeta(NamedTuple):
     """Per-chunk scalar metadata (prefetched into SMEM)."""
 
@@ -184,7 +207,7 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
 
             alpha_s = jnp.where(skipped, 0.0, alpha)
             lf = jnp.log1p(-alpha_s)
-            excl = _dot(lf, _tri_excl(), ((1,), (0,)))  # exclusive prefix
+            excl = _dot3(lf, _tri_excl())  # exclusive prefix
             TPx = T * jnp.exp(excl)
             TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
@@ -301,7 +324,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             # replaces every later mf multiply (see the sorted kernel)
             alpha_m = jnp.where(m, alpha, 0.0)
             lf = jnp.log1p(-alpha_m)
-            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            excl = _dot3(lf, _tri_excl())
             total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
             # T before instance k, reconstructed in log space going forward
             T_k = jnp.exp(logt_sc[:] + excl)
@@ -310,7 +333,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             w = alpha_m * T_k
             u = w * c_hat
             # suffix sum over instances AFTER k: S_total - inclusive prefix
-            Su = _dot(u, _tri_incl(), ((1,), (0,)))
+            Su = _dot3(u, _tri_incl())
             u_total = Su[:, CHUNK - 1:CHUNK]
             pre = stot_sc[:] - s_sc[:] + gT_term
             sterm = pre - Su
@@ -458,7 +481,7 @@ def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             # EXCLUSIVE prefix: TPx = T before the instance; the forward
             # weight is then alpha * TPx directly (no divide), and T after
             # the instance is TPx * (1 - alpha_s)
-            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            excl = _dot3(lf, _tri_excl())
             TPx = T * jnp.exp(excl)
             TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
@@ -573,14 +596,14 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             lf = jnp.log1p(-alpha_m)
             # EXCLUSIVE-prefix tri: T_k needs exp(logT + excl) directly,
             # and the all-lanes total is excl + lf at the last column
-            excl = _dot(lf, _tri_excl(), ((1,), (0,)))
+            excl = _dot3(lf, _tri_excl())
             total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
             T_k = jnp.exp(logt_sc[:] + excl)
 
             c_hat = _dot(g_acc, featd, ((1,), (0,)))
             w = alpha_m * T_k
             u = w * c_hat
-            Su = _dot(u, _tri_incl(), ((1,), (0,)))
+            Su = _dot3(u, _tri_incl())
             u_total = Su[:, CHUNK - 1:CHUNK]
             # S_at + gT_term folded into one [PX,1] precombine: one big
             # subtract instead of three [PX,CHUNK] adds/subs
@@ -708,8 +731,20 @@ def rank_space_reduce(rows_rank: jnp.ndarray, b_incl: jnp.ndarray,
     # applies at the block-sum level: intra-block partials are <= CHUNK
     # uncentered rows (bounded), the centered block prefix is a
     # zero-drift walk of nblk steps instead of R.
-    ipx = jnp.einsum("kj,bkc->bjc", _tri_excl(), x,
-                     precision=jax.lax.Precision.HIGHEST)
+    # 3-pass bf16 split (see _dot3): the tri mask is bf16-exact, so the
+    # batched intra-block prefix matmul runs at half HIGHEST's passes
+    # with the same f32 result up to summation rounding
+    tri_b = _tri_excl().astype(jnp.bfloat16)
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _pref(xs):
+        return jnp.einsum("kj,bkc->bjc", tri_b, xs,
+                          preferred_element_type=jnp.float32)
+
+    ipx = _pref(x1) + _pref(x2) + _pref(x3)
     P = ipx[:, CHUNK - 1, :] + x[:, CHUNK - 1, :]      # block totals
     mu = jnp.mean(P, axis=0, keepdims=True)            # [1, GF]
     bpc = jnp.concatenate(
@@ -1010,9 +1045,12 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         )
         # deterministic rank-space reduction (see the v4 docstring): rows
         # gathered into pre-sort rank order, mean-centered cumsum +
-        # boundary difference at the analytic b_incl ranges.
-        rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)  # [NC*CHUNK, GF]
-        rows_rank = rows_al[sb.a_by_rank]                    # [R, GF]
+        # boundary difference at the analytic b_incl ranges. Only the
+        # 6+CH1 live columns ride the gather + scan (GF pads to 16 for
+        # the kernel's sublane alignment only).
+        live = 6 + CH1
+        rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)[:, :live]
+        rows_rank = rows_al[sb.a_by_rank]                    # [R, live]
         # XLA's cumsum measures 0.87 ms here; a Pallas triangular-matmul
         # scan was tried and measured 2.7 ms (16-lane blocks starve the
         # MXU) — bench/prof_r12.py
