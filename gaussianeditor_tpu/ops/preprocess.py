@@ -22,6 +22,15 @@ Exact constants preserved: near-plane cull z<=0.2, 1.3*tanfov frustum
 clamp in the EWA Jacobian, +0.3 px^2 low-pass on the 2D covariance
 diagonal, radius = ceil(3*sqrt(max eigenvalue)) with the 0.1 floor inside
 the sqrt, ndc2Pix convention ((v+1)*S-1)/2, w-denominator epsilon 1e-7.
+
+One deliberate improvement over CUDA's getRect: the BINNING rect uses
+per-axis opacity-aware radii min(3*sqrt(lambda_max),
+sqrt(2*ln(256*op)*Sigma_axis)) — output-exact (every excluded
+(pixel, instance) pair fails the compositor's alpha < 1/255 gate; see
+the derivation at the rect computation below) while binning 20-50%
+fewer tile instances for anisotropic/low-opacity Gaussians. The
+reported `radius` stays the isotropic CUDA one (densification
+screen-size semantics, gaussian_model.py:811-815).
 """
 
 from __future__ import annotations
@@ -230,18 +239,53 @@ def preprocess(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
     radius_f = jax.lax.stop_gradient(radius_f)
 
+    # Per-axis opacity-aware rect radii — an EXACT-output tightening of
+    # CUDA's isotropic 3*sqrt(lambda_max) square rect (auxiliary.h
+    # getRect): for the PD quadratic q with covariance Sigma (the +0.3
+    # LPF'd one the compositor's conic inverts), min over dy of q(dx, dy)
+    # = dx^2 / Sigma_xx (Schur marginal), so every pixel with |dx| >
+    # sqrt(2*ln(256*op)*Sigma_xx) has alpha = op*exp(-q/2) <= 1/256 <
+    # ALPHA_MIN and is dropped by the compositor's per-pair gate anyway
+    # (forward.cu:346-353 semantics). 256 (not 255) buys a strict margin
+    # against f32 rounding of q. Capped at the CUDA radius: instance
+    # lists only ever shrink, and only by pairs that contribute exactly
+    # nothing. Anisotropic and low-opacity Gaussians bin far fewer
+    # instances; radii/visible keep the reference semantics (the 3-sigma
+    # isotropic radius still feeds densification's screen-size rule).
+    # One documented divergence: a Gaussian whose opacity can never
+    # reach ALPHA_MIN anywhere (op <= 1/256) gets an empty rect and is
+    # reported invisible, where the reference keeps it visible-but-
+    # contributing-nothing; such Gaussians are below min_opacity 0.005
+    # and are pruned by the next densify pass in both frameworks.
+    ln_op = jnp.log(256.0 * jnp.maximum(opacity, 1e-12))
+    two_ln = 2.0 * jnp.maximum(ln_op, 0.0)
+    rx_f = jax.lax.stop_gradient(
+        jnp.minimum(radius_f, jnp.ceil(jnp.sqrt(two_ln * c_xx))))
+    ry_f = jax.lax.stop_gradient(
+        jnp.minimum(radius_f, jnp.ceil(jnp.sqrt(two_ln * c_yy))))
+    dead_op = jax.lax.stop_gradient(ln_op <= 0.0)
+
     # Tile rect (auxiliary.h getRect), grid in tiles.
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
     mxs = jax.lax.stop_gradient(mx)
     mys = jax.lax.stop_gradient(my)
-    rminx = jnp.clip(((mxs - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
-    rminy = jnp.clip(((mys - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
+    rminx = jnp.clip(((mxs - rx_f) / TILE).astype(jnp.int32), 0, grid_x)
+    rminy = jnp.clip(((mys - ry_f) / TILE).astype(jnp.int32), 0, grid_y)
+    # Upper tile bound: CUDA's floor((p + r + TILE-1)/TILE) only covers
+    # pixels <= p + r - 1 (a pixel at exactly p + r can land one tile
+    # past it), so the tightened radius needs +TILE to keep every
+    # pixel within rx included; capped at the reference's own bound so
+    # the rect never exceeds CUDA's (rx_f <= radius_f always).
     rmaxx = jnp.clip(
-        ((mxs + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
+        jnp.minimum((mxs + radius_f + TILE - 1) / TILE,
+                    (mxs + rx_f + TILE) / TILE).astype(jnp.int32),
+        0, grid_x,
     )
     rmaxy = jnp.clip(
-        ((mys + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
+        jnp.minimum((mys + radius_f + TILE - 1) / TILE,
+                    (mys + ry_f + TILE) / TILE).astype(jnp.int32),
+        0, grid_y,
     )
     if tile_row_range is not None:
         # tile-sharded strip render (docs/tile_sharding.md): keep only
@@ -250,7 +294,7 @@ def preprocess(
         ty0, ty1 = tile_row_range
         rminy = jnp.clip(rminy, ty0, ty1) - ty0
         rmaxy = jnp.clip(rmaxy, ty0, ty1) - ty0
-    tiles = (rmaxx - rminx) * (rmaxy - rminy)
+    tiles = jnp.where(dead_op, 0, (rmaxx - rminx) * (rmaxy - rminy))
 
     visible = in_frustum & det_valid & (tiles > 0)
     if alive is not None:

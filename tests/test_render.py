@@ -76,6 +76,58 @@ class TestPreprocess:
         proc = _proc(scene, make_camera())
         assert int(proc.radius[0]) >= 2
 
+    def test_tight_rect_is_output_exact(self):
+        """The per-axis opacity-aware rect must (a) bin strictly fewer
+        instances than CUDA's isotropic 3-sigma square on an
+        anisotropic/low-opacity scene, and (b) change NOTHING in the
+        composited output: every excluded (pixel, instance) pair fails
+        the alpha < 1/255 gate (forward.cu:346-353). Verified against
+        the CUDA-transliterated dense oracle run on both rects."""
+        from gaussianeditor_tpu.ops.refimpl import composite_dense
+
+        scene = random_scene(80, seed=7)
+        # anisotropic scales + a low-opacity band incl. op < 1/256
+        rng = np.random.RandomState(3)
+        ls = np.log(rng.uniform(0.01, 0.3, (80, 3)).astype(np.float32))
+        op_raw = rng.uniform(-7.0, 2.0, (80, 1)).astype(np.float32)
+        scene = scene.replace(params=scene.params.replace(
+            log_scales=jnp.asarray(ls), opacity_raw=jnp.asarray(op_raw)))
+        cam = make_camera(64, 64)
+        proc = _proc(scene, cam)
+
+        # reconstruct the reference's isotropic rect from the reported
+        # radius (which deliberately keeps CUDA's 3*sqrt(lambda_max))
+        gx = gy = 64 // TILE
+        r = proc.radius.astype(jnp.float32)
+        mxs, mys = proc.mean2d[:, 0], proc.mean2d[:, 1]
+        rminx = jnp.clip(((mxs - r) / TILE).astype(jnp.int32), 0, gx)
+        rminy = jnp.clip(((mys - r) / TILE).astype(jnp.int32), 0, gy)
+        rmaxx = jnp.clip(((mxs + r + TILE - 1) / TILE).astype(jnp.int32),
+                         0, gx)
+        rmaxy = jnp.clip(((mys + r + TILE - 1) / TILE).astype(jnp.int32),
+                         0, gy)
+        tiles = jnp.where(proc.visible,
+                          (rmaxx - rminx) * (rmaxy - rminy), 0)
+        proc_wide = proc._replace(
+            rect_min=jnp.stack([rminx, rminy], axis=-1),
+            rect_max=jnp.stack([rmaxx, rmaxy], axis=-1),
+            tiles_touched=tiles.astype(jnp.int32),
+        )
+        n_tight = int(jnp.sum(proc.tiles_touched))
+        n_wide = int(jnp.sum(proc_wide.tiles_touched))
+        assert n_tight < n_wide, (
+            f"tight rect did not shrink binning ({n_tight} vs {n_wide}); "
+            "scene not anisotropic enough for the test"
+        )
+
+        bg = jnp.zeros(3)
+        dense = jax.jit(lambda p: composite_dense(p, 64, 64, bg))
+        ct, dt_, tt = dense(proc)
+        cw, dw, tw = dense(proc_wide)
+        np.testing.assert_array_equal(np.asarray(ct), np.asarray(cw))
+        np.testing.assert_array_equal(np.asarray(dt_), np.asarray(dw))
+        np.testing.assert_array_equal(np.asarray(tt), np.asarray(tw))
+
 
 class TestBinning:
     def test_instances_match_tiles_touched(self):
