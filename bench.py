@@ -58,11 +58,12 @@ def main() -> None:
         0.8, 0.8, hw, hw,
     )
 
-    # instance budget sized to the scene (num_rendered = 360,758; CUDA
-    # sizes its buffers to exactly num_rendered after a probe pass —
-    # rasterizer_impl.cu:236-244; our host overflow policy re-renders at
-    # doubled budget if a scene outgrows it, see ops/render.py:render_safe)
-    kwargs = dict(max_instances=393_216)  # impl auto: Pallas on TPU
+    # instance budget sized to the scene (num_rendered = 329,514 with the
+    # round-4 exact per-axis rect tightening; CUDA sizes its buffers to
+    # exactly num_rendered after a probe pass — rasterizer_impl.cu:236-244;
+    # our host overflow policy re-renders at doubled budget if a scene
+    # outgrows it, see ops/render.py:render_safe)
+    kwargs = dict(max_instances=352_256)  # impl auto: Pallas on TPU
 
     def loss(p):
         out = render(scene.replace(params=p), cam, jnp.zeros(3), **kwargs)

@@ -103,21 +103,24 @@ def sorted_capacities(max_instances: int, num_tiles: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_key_kernel(R: int, grid_x: int, depth_bits: int, P: int):
-    """key + transposed-payload kernel over [KEY_BLK, 16] row blocks.
-    Emits only the P payload rows transposed (cols 6..6+P), not the six
-    key-building int fields."""
+    """key + payload-transpose kernel over [16, KEY_BLK] blocks (ranks on
+    the LANE axis: the original [KEY_BLK, 16] row blocks ran every
+    elementwise op at 16/128 lane utilization and paid an in-kernel
+    [KEY_BLK, P] transpose — measured 1.0 ms; this layout is ~0.2 ms,
+    bench/profiler.py round 4). Emits only the P payload rows
+    (cols 6..6+P), not the six key-building int fields."""
 
     def kernel(tot_ref, rows_ref, key_ref, rt_ref):
         c = pl.program_id(0)
-        r = rows_ref[...]                          # [KEY_BLK, 16]
+        r = rows_ref[0]                            # [16, KEY_BLK]
         q = c * KEY_BLK + jax.lax.broadcasted_iota(
             jnp.int32, (KEY_BLK,), 0)
-        g_bprev = r[:, 0].astype(jnp.int32)
-        g_tt = r[:, 1].astype(jnp.int32)
-        g_rx = r[:, 2].astype(jnp.int32)
-        g_ry = r[:, 3].astype(jnp.int32)
-        rect_w = jnp.maximum(r[:, 4].astype(jnp.int32), 1)
-        g_dkey = r[:, 5].astype(jnp.int32)
+        g_bprev = r[0].astype(jnp.int32)
+        g_tt = r[1].astype(jnp.int32)
+        g_rx = r[2].astype(jnp.int32)
+        g_ry = r[3].astype(jnp.int32)
+        rect_w = jnp.maximum(r[4].astype(jnp.int32), 1)
+        g_dkey = r[5].astype(jnp.int32)
         j = q - g_bprev
         live = (q < tot_ref[0]) & (j >= 0) & (j < g_tt)
         # variable-divisor int div is slow on the VPU; floor((j+0.5)/w)
@@ -129,12 +132,12 @@ def _make_key_kernel(R: int, grid_x: int, depth_bits: int, P: int):
         key = ((tile.astype(jnp.uint32) << depth_bits)
                | g_dkey.astype(jnp.uint32))
         key_ref[...] = jnp.where(live, key, jnp.uint32(0xFFFFFFFF))
-        rt_ref[...] = r[:, 6:6 + P].T              # [P, KEY_BLK]
+        rt_ref[...] = r[6:6 + P]                   # [P, KEY_BLK]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R // KEY_BLK,),
-        in_specs=[pl.BlockSpec((KEY_BLK, FTAB), lambda c, t: (c, 0))],
+        in_specs=[pl.BlockSpec((1, FTAB, KEY_BLK), lambda c, t: (c, 0, 0))],
         out_specs=[pl.BlockSpec((KEY_BLK,), lambda c, t: (c,)),
                    pl.BlockSpec((P, KEY_BLK), lambda c, t: (0, c))],
     )
@@ -145,6 +148,60 @@ def _make_key_kernel(R: int, grid_x: int, depth_bits: int, P: int):
                    jax.ShapeDtypeStruct((P, R), jnp.float32)],
         interpret=_interpret(),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_assembly_kernel(R: int, NB: int, P: int):
+    """Sorted payload columns -> [NB, 16, CHUNK] block layout in ONE
+    Pallas pass (the XLA pad/reshape/stack equivalent measured 1.27 ms
+    at R=393k — bench/profiler.py round 4). Grid steps cover KEY_BLK
+    sorted rows = KEY_BLK//CHUNK payload blocks each; steps past the
+    data (the grid rounds NB up, incl. the trailing zero block that
+    keeps qblk+1 valid) emit zeros, as do the FTAB-P padding rows.
+    Requires R % KEY_BLK == 0 (sorted_bin falls back to the XLA stack
+    otherwise). The [n_grid*BPG, ...] output is sliced to NB by the
+    caller (a view-to-copy slice of < one grid step's blocks)."""
+    assert R % KEY_BLK == 0
+    BPG = KEY_BLK // CHUNK            # payload blocks per grid step
+    n_data = R // KEY_BLK             # grid steps holding real data
+    n_grid = -(-NB // BPG)            # total grid steps (>= n_data)
+
+    def kernel(*refs):
+        cols = refs[:P]
+        out_ref = refs[P]
+        c = pl.program_id(0)
+
+        @pl.when(c >= n_data)
+        def _tail():
+            out_ref[...] = jnp.zeros((BPG, FTAB, CHUNK), jnp.float32)
+
+        @pl.when(c < n_data)
+        def _copy():
+            for i, col in enumerate(cols):
+                out_ref[:, i, :] = col[...]          # [BPG, CHUNK]
+            out_ref[:, P:, :] = jnp.zeros((BPG, FTAB - P, CHUNK),
+                                          jnp.float32)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec(
+            (BPG, CHUNK), lambda c: (jnp.minimum(c, n_data - 1), 0))
+            for _ in range(P)],
+        out_specs=pl.BlockSpec((BPG, FTAB, CHUNK), lambda c: (c, 0, 0)),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_grid * BPG, FTAB, CHUNK),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )
+
+    def apply(*cols):
+        # [R] -> [R//CHUNK, CHUNK] views (row-major: free relayout)
+        return call(*(c_.reshape(R // CHUNK, CHUNK) for c_ in cols))
+
+    return apply
 
 
 def sorted_bin(
@@ -225,12 +282,16 @@ def sorted_bin(
     rows_rank = table[jnp.minimum(gsrc, C)]        # [R, 16] monotone
 
     # key kernel wants a KEY_BLK multiple; pad with dummy rows (tt=0 ->
-    # dead) and slice the outputs back to R
+    # dead) and slice the outputs back to R. The blocked transpose puts
+    # ranks on the LANE axis (fuses into the gather, as the compositor
+    # pack does — pallas_composite.pack_instances).
     Rk = _round_up(R, KEY_BLK)
     rows_k = (rows_rank if Rk == R
               else jnp.pad(rows_rank, ((0, Rk - R), (0, 0))))
+    rows_b = jnp.swapaxes(rows_k.reshape(Rk // KEY_BLK, KEY_BLK, FTAB),
+                          1, 2)
     key_call = _make_key_kernel(Rk, grid_x, key_depth_bits, P)
-    key, rt = key_call(jnp.asarray([0], jnp.int32) + total, rows_k)
+    key, rt = key_call(jnp.asarray([0], jnp.int32) + total, rows_b)
     if Rk != R:
         key = key[:R]
         rt = rt[:, :R]
@@ -246,12 +307,16 @@ def sorted_bin(
     stile = (skey >> key_depth_bits).astype(jnp.int32)  # invalid -> marker > T
 
     # --- block-transposed payload [NB, 16, CHUNK] (last block zero) ---
-    nbr = NB * CHUNK - R
-    blocks = jnp.stack(
-        [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in scols]
-        + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P),
-        axis=1,
-    )
+    if R % KEY_BLK == 0:
+        blocks = _make_assembly_kernel(R, NB, P)(*scols)[:NB]
+    else:
+        # XLA fallback for small/unaligned budgets (tests, probes)
+        nbr = NB * CHUNK - R
+        blocks = jnp.stack(
+            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in scols]
+            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P),
+            axis=1,
+        )
 
     # --- chunk metadata from tiny per-tile tables ---
     # stile is SORTED (tile-major keys), so per-tile (first row, count)

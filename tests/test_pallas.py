@@ -132,6 +132,29 @@ class TestPallasDeterminism:
             assert np.asarray(a).tobytes() == np.asarray(b).tobytes()
 
 
+class TestAssemblyKernel:
+    def test_matches_xla_stack(self):
+        """The Pallas payload-assembly kernel must reproduce the XLA
+        pad/reshape/stack block layout bit-for-bit (incl. the trailing
+        zero block and the FTAB-P zero rows)."""
+        from gaussianeditor_tpu.ops import binning_sorted as bs
+
+        R, ntiles, P = 4096, 12, 10
+        _, NB, _ = bs.sorted_capacities(R, ntiles)
+        rng = np.random.RandomState(0)
+        scols = tuple(jnp.asarray(rng.rand(R).astype(np.float32))
+                      for _ in range(P))
+        kern = jax.jit(lambda *c: bs._make_assembly_kernel(R, NB, P)(*c)[:NB])
+        blocks_k = kern(*scols)
+        nbr = NB * bs.CHUNK - R
+        blocks_x = jnp.stack(
+            [jnp.pad(c_, (0, nbr)).reshape(NB, bs.CHUNK) for c_ in scols]
+            + [jnp.zeros((NB, bs.CHUNK), jnp.float32)] * (bs.FTAB - P),
+            axis=1)
+        np.testing.assert_array_equal(np.asarray(blocks_k),
+                                      np.asarray(blocks_x))
+
+
 class TestSortedVsDensePaths:
     def test_v5_matches_v4_forward_and_grads(self):
         """The production sorted-payload path ('pallas') and the v4
