@@ -16,7 +16,11 @@ part of this environment; the capability surface is preserved):
 Endpoints (JSON unless noted):
   GET  /                      HTML client
   GET  /render?theta&phi&radius&size&overlay  PNG frame
+  GET  /poses?theta&phi&radius&size           training-camera frustum
+                                              segments for the overlay
   POST /trace   {prompt, threshold}           mask stats
+  POST /threshold {threshold, group?}         instant re-threshold on the
+                                              cached trace weights
   POST /edit    {prompt, steps, mode}         starts background training
   GET  /status                                training progress
   POST /stop                                  sets the stop flag
@@ -43,14 +47,20 @@ img{max-width:100%;image-rendering:pixelated;cursor:grab}
 input,button,select{width:100%;margin:3px 0;padding:5px;box-sizing:border-box}
 label{font-size:12px;color:#aaa}#log{font-size:11px;white-space:pre-wrap}
 </style></head><body>
-<div id=view><img id=frame></div>
+<div id=view><div style="position:relative">
+<img id=frame><canvas id=fov width=512 height=512
+ style="position:absolute;left:0;top:0;pointer-events:none"></canvas>
+</div></div>
 <div id=panel>
 <h3>gaussianeditor_tpu</h3>
 <label>semantic prompt</label><input id=segp placeholder="e.g. the bear">
-<label>mask threshold</label><input id=thres type=number value=0.5 step=0.1>
+<label>mask threshold (live after a trace)</label>
+<input id=thres type=number value=0.5 step=0.1 onchange="rethres()">
 <button onclick="trace()">trace mask</button>
 <label>semantic group</label><select id=groups onchange="setGroup()"></select>
 <label><input id=overlay type=checkbox style="width:auto"> semantic overlay</label>
+<label><input id=cams type=checkbox style="width:auto" onchange="refresh()">
+ show training cameras</label>
 <label>edited-frame view</label><input id=efv type=number value=0>
 <button onclick="showFrame()">show edited frame</button>
 <hr><label>edit prompt</label><input id=editp placeholder="make it golden">
@@ -81,7 +91,21 @@ label{font-size:12px;color:#aaa}#log{font-size:11px;white-space:pre-wrap}
 let th=0.6, ph=0.3, r=4.0, drag=null;
 const img=document.getElementById('frame');
 function refresh(){img.src=`/render?theta=${th}&phi=${ph}&radius=${r}&size=512`+
-  `&overlay=${document.getElementById('overlay').checked?1:0}&t=${Date.now()}`;}
+  `&overlay=${document.getElementById('overlay').checked?1:0}&t=${Date.now()}`;
+  drawCams();}
+async function drawCams(){
+  const cv=document.getElementById('fov'),ctx=cv.getContext('2d');
+  ctx.clearRect(0,0,cv.width,cv.height);
+  if(!document.getElementById('cams').checked)return;
+  const d=await (await fetch(`/poses?theta=${th}&phi=${ph}&radius=${r}&size=512`)).json();
+  ctx.strokeStyle='#4cf';ctx.fillStyle='#4cf';ctx.font='11px sans-serif';
+  for(const f of d.frustums){if(!f.visible)continue;
+    ctx.beginPath();
+    for(const s of f.segments){ctx.moveTo(s[0],s[1]);ctx.lineTo(s[2],s[3]);}
+    ctx.stroke();
+    ctx.fillText(String(f.view),f.apex[0]+3,f.apex[1]-3);}}
+function rethres(){post('/threshold',
+  {threshold:+document.getElementById('thres').value});}
 img.onmousedown=e=>{
   if(e.altKey){const rc=img.getBoundingClientRect();
     const sx=(e.clientX-rc.left)/rc.width*512, sy=(e.clientY-rc.top)/rc.height*512;
@@ -154,6 +178,11 @@ class WebUIState:
         # trace stores its Gaussian mask under the prompt; switching
         # groups re-installs mask + grad gating instantly
         self.semantic_masks = {}
+        # cached per-Gaussian CONTINUOUS weight accumulators per group:
+        # moving the mask threshold re-applies `weights > thres` without
+        # re-running the apply_weights splat (reference caches the
+        # weights the same way for its thres slider, webui.py:782-793)
+        self.semantic_weights = {}
         self.active_group = ""
         # the live training system, for the edited-frame browser
         # (reference edit_frame_show, webui.py:560-566)
@@ -248,6 +277,7 @@ class WebUIState:
             self.scene = self.scene.update_anchor()
             n_sel = int(np.asarray(self.scene.mask).sum())
             self.semantic_masks[prompt] = np.asarray(self.scene.mask)
+            self.semantic_weights[prompt] = np.asarray(norm)
             self.active_group = prompt
         return {"selected": n_sel, "total": int(self.scene.n_alive),
                 "group": prompt, "groups": list(self.semantic_masks)}
@@ -261,7 +291,7 @@ class WebUIState:
 
         seg = getattr(self, "point_segmentor", None) or FakePointSegmentor()
         with self.lock:
-            self.scene, _ = trace_from_click(
+            self.scene, norm = trace_from_click(
                 self.scene, self.cameras, int(view), (float(x), float(y)),
                 seg, threshold,
                 tile_cap=self.edit_config.tile_cap,
@@ -271,6 +301,7 @@ class WebUIState:
             n_sel = int(np.asarray(self.scene.mask).sum())
             name = group or f"click@{int(view)}"
             self.semantic_masks[name] = np.asarray(self.scene.mask)
+            self.semantic_weights[name] = np.asarray(norm)
             self.active_group = name
         return {"selected": n_sel, "total": int(self.scene.n_alive),
                 "group": name, "groups": list(self.semantic_masks)}
@@ -296,6 +327,86 @@ class WebUIState:
     def groups(self) -> dict:
         return {"groups": list(self.semantic_masks),
                 "active": self.active_group}
+
+    def rethreshold(self, threshold: float, group: str = "") -> dict:
+        """Instant mask re-threshold WITHOUT re-splatting: re-apply
+        `weights > threshold` on the cached per-Gaussian weight
+        accumulators of a traced group (the reference keeps the
+        accumulators and lets the thres slider loop over them,
+        webui.py:782-793; our splat analog is ops/apply_weights — this
+        skips it entirely)."""
+        name = group or self.active_group
+        if name not in self.semantic_weights:
+            return {"error": f"no cached trace weights for '{name}'",
+                    "groups": list(self.semantic_weights)}
+        jnp = self._jnp
+        with self.lock:
+            w = self.semantic_weights[name]
+            sel = jnp.asarray(w > float(threshold)) & self.scene.alive
+            self.scene = self.scene.set_mask(sel)
+            self.scene = self.scene.update_anchor()
+            self.semantic_masks[name] = np.asarray(self.scene.mask)
+            self.active_group = name
+            n_sel = int(np.asarray(self.scene.mask).sum())
+        return {"group": name, "threshold": float(threshold),
+                "selected": n_sel, "total": int(self.scene.n_alive)}
+
+    def poses(self, theta: float, phi: float, radius: float,
+              size: int, depth: float = 0.0) -> dict:
+        """Training-camera frustums projected into the CURRENT orbit
+        view — the stdlib-UI analog of the reference's in-scene viser
+        frustum gizmos (webui.py:560-566, ui_utils.py:9-60). Returns 2D
+        line segments per training view for the client's overlay canvas;
+        projection reuses the exact server camera math, so the markers
+        land where a render from that pose would."""
+        from gaussianeditor_tpu.core.cameras import lookat_camera
+
+        eye = self.center + radius * np.array(
+            [np.cos(theta) * np.cos(phi), np.sin(phi),
+             np.sin(theta) * np.cos(phi)]
+        )
+        cur = lookat_camera(eye, self.center, np.array([0.0, 1.0, 0.0]),
+                            0.8, 0.8, size, size)
+        full_proj = np.asarray(cur.full_proj)
+        if depth <= 0.0:
+            depth = 0.12 * float(self.cameras_extent or radius)
+
+        def project(pts):  # [N,3] world -> ([N,2] pixels, [N] front)
+            ph = pts @ full_proj[:3, :3].T + full_proj[:3, 3]
+            w = pts @ full_proj[3, :3].T + full_proj[3, 3]
+            front = w > 1e-3
+            w = np.where(front, w, 1.0)
+            ndc = ph[:, :2] / w[:, None]
+            pix = ((ndc + 1.0) * size - 1.0) * 0.5  # ndc2Pix convention
+            return pix, front
+
+        frustums = []
+        for i, cam in enumerate(self.cameras):
+            c2w = np.linalg.inv(np.asarray(cam.world_view))
+            tx, ty = float(cam.tan_fovx), float(cam.tan_fovy)
+            # apex + 4 image-plane corners at `depth` (+z forward)
+            local = np.array([
+                [0.0, 0.0, 0.0],
+                [-tx * depth, -ty * depth, depth],
+                [tx * depth, -ty * depth, depth],
+                [tx * depth, ty * depth, depth],
+                [-tx * depth, ty * depth, depth],
+            ])
+            world = local @ c2w[:3, :3].T + c2w[:3, 3]
+            pix, front = project(world)
+            if not bool(front.all()):
+                frustums.append({"view": i, "visible": False,
+                                 "segments": []})
+                continue
+            edges = [(0, 1), (0, 2), (0, 3), (0, 4),
+                     (1, 2), (2, 3), (3, 4), (4, 1)]
+            segs = [[float(pix[a, 0]), float(pix[a, 1]),
+                     float(pix[b, 0]), float(pix[b, 1])] for a, b in edges]
+            frustums.append({
+                "view": i, "visible": True, "segments": segs,
+                "apex": [float(pix[0, 0]), float(pix[0, 1])],
+            })
+        return {"size": size, "frustums": frustums}
 
     def edit_frame_png(self, view: int):
         """Current edited TARGET image for a view — the per-view frame
@@ -548,6 +659,14 @@ def make_handler(state: WebUIState):
                 self._json(state.update_config({}))
             elif url.path == "/groups":
                 self._json(state.groups())
+            elif url.path == "/poses":
+                q = parse_qs(url.query)
+                self._json(state.poses(
+                    float(q.get("theta", [0.6])[0]),
+                    float(q.get("phi", [0.3])[0]),
+                    float(q.get("radius", [4.0])[0]),
+                    int(q.get("size", [512])[0]),
+                ))
             elif url.path == "/editframe":
                 q = parse_qs(url.query)
                 png = state.edit_frame_png(int(q.get("view", [0])[0]))
@@ -580,6 +699,11 @@ def make_handler(state: WebUIState):
                 ))
             elif url.path == "/group":
                 self._json(state.set_group(payload.get("name", "")))
+            elif url.path == "/threshold":
+                self._json(state.rethreshold(
+                    float(payload.get("threshold", 0.5)),
+                    group=payload.get("group", ""),
+                ))
             elif url.path == "/edit":
                 self._json(state.start_training(
                     payload.get("prompt", ""),

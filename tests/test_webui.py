@@ -208,6 +208,57 @@ def test_click_trace_named_group(server_url):
     assert "my object" in json.loads(_get(url + "/groups")[0])["groups"]
 
 
+def test_rethreshold_without_retrace(server_url):
+    """Moving the mask threshold re-applies the cached per-Gaussian
+    weight accumulators WITHOUT re-running the splat or the segmentor
+    (reference keeps the accumulators for its thres slider,
+    webui.py:782-793)."""
+    url, state = server_url
+    _post(url + "/trace", {"prompt": "cachable", "threshold": 0.5})
+    w = state.semantic_weights["cachable"]
+    assert w.shape[0] == state.scene.capacity
+
+    # prove no re-trace happens: remove the segmentor for the duration
+    seg = state.segmentor
+    state.segmentor = None
+    try:
+        lo = _post(url + "/threshold", {"threshold": -1.0})
+        hi = _post(url + "/threshold", {"threshold": 1e9})
+    finally:
+        state.segmentor = seg
+    assert lo["group"] == "cachable" and hi["group"] == "cachable"
+    # threshold below every weight selects all alive; above selects none
+    assert lo["selected"] == int(np.asarray(state.scene.alive).sum())
+    assert hi["selected"] == 0
+    # exact consistency with the trace-time rule: weights > thr & alive
+    mid = _post(url + "/threshold", {"threshold": float(np.median(w))})
+    expect = int(((w > np.median(w))
+                  & np.asarray(state.scene.alive)).sum())
+    assert mid["selected"] == expect
+    # the group's stored mask tracks the re-threshold
+    assert int(state.semantic_masks["cachable"].sum()) == expect
+
+    out = _post(url + "/threshold", {"threshold": 0.5, "group": "nope"})
+    assert "error" in out
+
+
+def test_poses_frustum_overlay(server_url):
+    """/poses returns per-training-view frustum wireframe segments in the
+    current orbit view's pixel space (in-scene camera gizmos,
+    reference webui.py:560-566 + ui_utils.py:9-60)."""
+    url, state = server_url
+    d = json.loads(_get(url + "/poses?theta=0.6&phi=0.3&radius=4&size=64")[0])
+    assert d["size"] == 64
+    assert len(d["frustums"]) == len(state.cameras)
+    vis = [f for f in d["frustums"] if f["visible"]]
+    assert vis, "no training camera projected into the view"
+    for f in vis:
+        assert len(f["segments"]) == 8  # 4 apex rays + 4 plane edges
+        for s in f["segments"]:
+            assert len(s) == 4 and all(np.isfinite(v) for v in s)
+        assert len(f["apex"]) == 2
+
+
 def test_edit_frame_browser(server_url):
     """After a training run, /editframe serves the per-view edited
     target (reference edit-frame preview, webui.py:560-566)."""
