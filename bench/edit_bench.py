@@ -1,24 +1,63 @@
 """Edit-loop throughput (BASELINE metric #2: edit iters/sec).
 
 Measures the full jitted edit step — batched render + photometric +
-anchor losses + backward + Adam — at the reference's canonical editing
-configuration (512x512, batch 2, ~100k Gaussians), with guidance target
-refreshes EXCLUDED (they are host-side diffusion, amortized by
-per_editing_step in both frameworks; the reference's own docs name them
-the dominant cost)."""
+PERCEPTUAL + anchor losses + backward + Adam — at the reference's
+canonical editing configuration (512x512, batch 2, ~100k Gaussians),
+with guidance target refreshes EXCLUDED (they are host-side diffusion,
+amortized by per_editing_step in both frameworks; the reference's own
+docs name them the dominant cost).
 
+The headline number includes the perceptual term with the SAME callable
+`EditSystem` defaults to (`make_perceptual()`: real VGG16-LPIPS when
+converted weights exist, else the multiscale-gradient proxy), because
+the 20 it/s anchor explicitly charges the reference 16-27 ms of
+VGG16-LPIPS per step (BASELINE.md, anchor 2). A secondary
+no-perceptual number is reported for stage attribution only.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python bench/edit_bench.py \
+        [--out EDITBENCH_rNN.json]
+"""
+
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def measure(step, state, cam_batch, targets, n_iter=10, repeats=5):
     import jax
+
+    @jax.jit
+    def run_n(st):
+        return jax.lax.fori_loop(
+            0, n_iter, lambda i, s: step(s, cam_batch, targets)[0], st
+        )
+
+    out = run_n(state)
+    jax.block_until_ready(out.scene.params.xyz)
+    times = []
+    for _ in range(repeats):  # median: the tunnel varies +-20% run-to-run
+        t0 = time.perf_counter()
+        out = run_n(state)
+        jax.block_until_ready(out.scene.params.xyz)
+        times.append((time.perf_counter() - t0) / n_iter)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
+    args = ap.parse_args()
+
+    import jax  # noqa: F401
     import jax.numpy as jnp
 
     from gaussianeditor_tpu.core.cameras import orbit_cameras
     from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
+    from gaussianeditor_tpu.train.lpips_jax import make_perceptual
     from gaussianeditor_tpu.train.optim import GaussianAdam, OptimConfig
     from gaussianeditor_tpu.train.trainer import (
         LossWeights,
@@ -49,46 +88,43 @@ def main() -> None:
     targets = jnp.asarray(rng.rand(batch, hw, hw, 3).astype(np.float32))
 
     optim = GaussianAdam(config=OptimConfig())
-    # budget sized to the scene as in bench.py (num_rendered ~361k/view)
-    step = make_train_step(optim, LossWeights(), max_instances=393_216)
     state = init_train_state(scene, optim)
 
-    n_iter = 10
+    # the production objective: same perceptual callable EditSystem
+    # defaults to (edit/edit_system.py), budget sized to the scene as in
+    # bench.py (num_rendered ~361k/view)
+    perceptual = make_perceptual()
+    step_full = make_train_step(optim, LossWeights(),
+                                perceptual=perceptual,
+                                max_instances=393_216)
+    dt_full = measure(step_full, state, cam_batch, targets)
 
-    # amortize inside one jitted loop: the single-chip tunnel has ~70 ms
-    # per-dispatch overhead (and has been observed to return from
-    # block_until_ready without the chain completing on chained
-    # dispatches)
-    @jax.jit
-    def run_n(st):
-        return jax.lax.fori_loop(
-            0, n_iter, lambda i, s: step(s, cam_batch, targets)[0], st
-        )
-
-    out = run_n(state)
-    jax.block_until_ready(out.scene.params.xyz)
-    times = []
-    for _ in range(5):  # median-of-5: the tunnel varies +-20% run-to-run
-        t0 = time.perf_counter()
-        out = run_n(state)
-        jax.block_until_ready(out.scene.params.xyz)
-        times.append((time.perf_counter() - t0) / n_iter)
-    times.sort()
-    dt = times[len(times) // 2]
+    # stage attribution only: the same step without the perceptual term
+    step_nop = make_train_step(optim, LossWeights(), max_instances=393_216)
+    dt_nop = measure(step_nop, state, cam_batch, targets)
 
     # Anchor DERIVED in BASELINE.md ("Anchor derivation", anchor 2):
     # 2 renders fwd+bwd at the derived 26 Mpix/s rasterizer anchor
     # + VGG16-LPIPS fwd+input-bwd at cudnn rates + Adam/PL overhead
     # = 41-62 ms/step on a 3090 -> 16-24 it/s, midpoint 20.
     baseline_iters = 20.0
-    print(json.dumps({
-        "metric": f"edit iters/sec (512^2, batch {batch}, 100k gaussians)",
-        "value": round(1.0 / dt, 3),
+    result = {
+        "metric": f"edit iters/sec (512^2, batch {batch}, 100k gaussians, "
+                  "full objective incl. perceptual)",
+        "value": round(1.0 / dt_full, 3),
         "unit": "iters/s",
-        "vs_baseline": round((1.0 / dt) / baseline_iters, 4),
-    }))
+        "vs_baseline": round((1.0 / dt_full) / baseline_iters, 4),
+        "no_perceptual_iters_s": round(1.0 / dt_nop, 3),
+        "perceptual_kind": ("lpips" if getattr(
+            perceptual, "__name__", "") != "multiscale_gradient_loss"
+            else "proxy"),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
 
 
 if __name__ == "__main__":
     main()
-

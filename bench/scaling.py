@@ -67,9 +67,16 @@ def main():
     optim = GaussianAdam(config=OptimConfig())
 
     results = {}
+    # FULL objective: carry the same perceptual callable EditSystem
+    # defaults to (lambda_p = 10 must not silently contribute zero here)
+    from gaussianeditor_tpu.train.lpips_jax import make_perceptual
+
+    perceptual = make_perceptual()
+
     for nd in sorted({1, n_dev}):
         mesh = make_mesh(nd)
         step = make_sharded_train_step(optim, LossWeights(), mesh,
+                                       perceptual=perceptual,
                                        max_instances=262144)
         state = init_train_state(scene, optim)
         cam_batch = stack_cameras(cams)

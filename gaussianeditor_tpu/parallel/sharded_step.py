@@ -132,6 +132,8 @@ def make_sharded_train_step(
             grads = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), g)
             total = jax.lax.psum(local_total, axis)
             loss_l1 = jax.lax.psum(l1, axis) / B_global
+            loss_p = jax.lax.psum(jnp.asarray(lp, jnp.float32),
+                                  axis) / B_global
             vgrad = jax.lax.psum(jnp.sum(og, axis=0), axis)  # [C, 2]
             vnorm = jnp.linalg.norm(vgrad, axis=-1)
             radii_g = jax.lax.pmax(radii_max, axis)
@@ -148,7 +150,8 @@ def make_sharded_train_step(
                 stats=stats,
                 step=state.step + 1,
             )
-            metrics = {"loss": total, "loss_l1": loss_l1, **anchors}
+            metrics = {"loss": total, "loss_l1": loss_l1, "loss_p": loss_p,
+                       **anchors}
             return new_state, metrics
 
         return sharded(state, tuple(cam_leaves), targets)
