@@ -1,8 +1,8 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Metric: rasterizer throughput in Mpix/s for a full differentiable
-render (forward + backward through the tiled compositor) at the
-reference's canonical editing resolution (512x512,
+Headline metric: rasterizer throughput in Mpix/s for a full
+differentiable render (forward + backward through the tiled compositor)
+at the reference's canonical editing resolution (512x512,
 configs/edit-n2n.yaml) on a synthetic ~100k-Gaussian scene.
 
 The reference publishes no benchmark tables; the 26 Mpix/s comparison
@@ -12,6 +12,13 @@ loops plus published GA102-class measurements of the identical Inria
 kernels (band 15-40, two independent estimates intersecting at 25-30).
 vs_baseline > 1.0 means faster than the reference's rasterizer fwd+bwd
 on its own hardware at this scene density.
+
+The JSON line also carries a "configs" map with post-densification-scale
+measurements (BASELINE configs[1] lego ~300k SH3, and a 1M-Gaussian
+case) so the design's scaling with R is measured, not asserted. Each
+config's instance budget is sized to its scene via a probe render
+(num_rendered * ~1.07 headroom, KEY_BLK-aligned), exactly as CUDA sizes
+its buffers after the probe pass (rasterizer_impl.cu:236-244).
 
 The timed loop runs REPEATS times and reports the MEDIAN: the single-chip
 tunnel shows +-20% run-to-run variance, which would otherwise swamp
@@ -29,41 +36,39 @@ BASELINE_MPIX_S = 26.0  # BASELINE.md "Anchor derivation", anchor 1
 REPEATS = 5
 
 
-def main() -> None:
-    import jax
+def make_scene(n, seed=0):
     import jax.numpy as jnp
 
-    from gaussianeditor_tpu.core.cameras import lookat_camera
     from gaussianeditor_tpu.models.gaussians import GaussianParams, GaussianScene
-    from gaussianeditor_tpu.ops.render import render
 
-    n = 100_000
-    hw = 512
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     quats = rng.randn(n, 4).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    # scale splat size with density so per-pixel overdraw stays in the
+    # post-densification regime (~300-400 pairs/px) across scene sizes
+    size = 0.012 * (100_000 / n) ** (1 / 3)
     params = GaussianParams(
         xyz=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
         features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
         features_rest=jnp.asarray(np.zeros((n, 15, 3), np.float32)),
         opacity_raw=jnp.asarray(rng.uniform(-1.0, 1.0, (n, 1)).astype(np.float32)),
         log_scales=jnp.asarray(
-            np.log(rng.uniform(0.004, 0.02, (n, 3))).astype(np.float32)
+            np.log(rng.uniform(size / 3, size * 5 / 3, (n, 3))).astype(np.float32)
         ),
         quats=jnp.asarray(quats),
     )
-    scene = GaussianScene.create(params, max_sh_degree=3, active_sh_degree=3)
-    cam = lookat_camera(
-        np.array([0.0, 0.0, -4.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
-        0.8, 0.8, hw, hw,
-    )
+    return GaussianScene.create(params, max_sh_degree=3, active_sh_degree=3)
 
-    # instance budget sized to the scene (num_rendered = 329,514 with the
-    # round-4 exact per-axis rect tightening; CUDA sizes its buffers to
-    # exactly num_rendered after a probe pass — rasterizer_impl.cu:236-244;
-    # our host overflow policy re-renders at doubled budget if a scene
-    # outgrows it, see ops/render.py:render_safe)
-    kwargs = dict(max_instances=352_256)  # impl auto: Pallas on TPU
+
+def measure(scene, cam, hw, max_instances, impl=None):
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.ops.render import render
+
+    kwargs = dict(max_instances=max_instances)
+    if impl is not None:
+        kwargs["impl"] = impl
 
     def loss(p):
         out = render(scene.replace(params=p), cam, jnp.zeros(3), **kwargs)
@@ -73,7 +78,7 @@ def main() -> None:
 
     # batch the iterations inside one jitted program: the single-chip
     # tunnel has ~70 ms per-dispatch overhead that would otherwise
-    # dominate the measurement
+    # dominate the measurement.
     # perturb xyz (not opacity): every real training step moves the
     # geometry, so the binning/sort must re-run per iteration — an
     # opacity-only perturbation lets XLA hoist the geometry-dependent
@@ -87,22 +92,79 @@ def main() -> None:
             return acc + jnp.sum(g.xyz)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
-    jax.block_until_ready(bench_loop(scene.params))  # compile + warm
+    # float()-sync: block_until_ready can return unsynced via the relay
+    float(bench_loop(scene.params))  # compile + warm
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        jax.block_until_ready(bench_loop(scene.params))
+        float(bench_loop(scene.params))
         times.append((time.perf_counter() - t0) / n_iter)
     dt = statistics.median(times)
+    return hw * hw / dt / 1e6
 
-    mpix_s = hw * hw / dt / 1e6
+
+def probe_budget(scene, cam):
+    """Scene-sized instance budget (CUDA probe-pass analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.ops.preprocess import preprocess
+
+    @jax.jit
+    def nr(s):
+        p = preprocess(s.params.xyz, s.params.log_scales, s.params.quats,
+                       s.get_opacity[:, 0], s.get_features, cam,
+                       alive=s.alive, active_sh_degree=s.active_sh_degree,
+                       max_sh_degree=s.max_sh_degree)
+        return jnp.sum(p.tiles_touched)
+
+    n = int(nr(scene))
+    return n, -(-int(n * 1.07) // 2048) * 2048
+
+
+def main() -> None:
+    from gaussianeditor_tpu.core.cameras import lookat_camera
+
+    hw = 512
+    cam = lookat_camera(
+        np.array([0.0, 0.0, -4.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]),
+        0.8, 0.8, hw, hw,
+    )
+
+    results = {}
+    budgets = {}
+    for name, n in [("100k", 100_000), ("300k", 300_000), ("1m", 1_000_000)]:
+        try:
+            scene = make_scene(n)
+            nr, mi = probe_budget(scene, cam)
+            budgets[name] = {"num_rendered": nr, "max_instances": mi}
+            results[name] = round(measure(scene, cam, hw, mi), 3)
+        except Exception as e:  # scale configs must not kill the headline
+            if name == "100k":
+                raise
+            results[name] = f"error: {type(e).__name__}: {e}"
+
+    # the >2^24-budget route falls back to the v4 id-sort path
+    # (ops/render.py:161-164); quantify that path's cost at the 300k
+    # scene so the cliff is measured, not asserted
+    try:
+        scene = make_scene(300_000)
+        _, mi = probe_budget(scene, cam)
+        results["300k_pallas4_route"] = round(
+            measure(scene, cam, hw, mi, impl="pallas4"), 3)
+    except Exception as e:
+        results["300k_pallas4_route"] = f"error: {type(e).__name__}: {e}"
+
+    mpix_s = results["100k"]
     print(
         json.dumps(
             {
                 "metric": "fwd+bwd rasterizer throughput (512^2, 100k gaussians)",
-                "value": round(mpix_s, 3),
+                "value": mpix_s,
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+                "configs": results,
+                "budgets": budgets,
             }
         )
     )

@@ -148,23 +148,23 @@ def staged_sorted_bin(proc, grid_x, grid_y, max_instances, stop_at):
         return cs(key, rt)
 
     q = jnp.arange(R, dtype=jnp.int32)
-    ops = (key,) + tuple(rt[i] for i in range(P)) + (gsrc, q)
+    ops = (key,) + tuple(rt[i] for i in range(P)) + (q,)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     skey = sorted_ops[0]
     scols = sorted_ops[1:1 + P]
-    sg = sorted_ops[1 + P]
-    srank = sorted_ops[2 + P]
+    srank = sorted_ops[1 + P]
     stile = (skey >> key_depth_bits).astype(jnp.int32)
     if stop_at == "sort":
-        return cs(skey, scols[0], sg, srank)
+        return cs(skey, scols[0], srank)
 
+    bcols = scols + (srank.astype(jnp.float32),)
     if R % KEY_BLK == 0:
-        blocks = bs._make_assembly_kernel(R, NB, P)(*scols)[:NB]
+        blocks = bs._make_assembly_kernel(R, NB, P + 1)(*bcols)[:NB]
     else:
         nbr = NB * CHUNK - R
         blocks = jnp.stack(
-            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in scols]
-            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P), axis=1)
+            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in bcols]
+            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P - 1), axis=1)
     if stop_at == "blocks":
         return cs(blocks) + cs(stile)
 
@@ -193,22 +193,11 @@ def staged_sorted_bin(proc, grid_x, grid_y, max_instances, stop_at):
         return cs(blocks) + cs(tile_c, first_c, nvalid_c, offset_c, qblk,
                                shift)
 
-    p = jnp.arange(R, dtype=jnp.int32)
-    is_b = jnp.concatenate([jnp.ones((1,), bool), stile[1:] != stile[:-1]])
-    tstart = jax.lax.cummax(jnp.where(is_b, p, -1))
-    tprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tstart[:-1]])
-    u = jnp.where(is_b & (p > 0), bs._pad_chunk(p - tprev), 0)
-    a = jnp.cumsum(u) + (p - tstart)
-    if stop_at == "align":
-        return cs(blocks) + cs(tile_c, qblk, shift) + cs(a)
-
-    _, a_by_rank = jax.lax.sort((srank, a), num_keys=1, is_stable=True)
     return cs(blocks) + cs(tile_c, first_c, nvalid_c, offset_c, qblk,
-                           shift, a_by_rank, b_incl, sg)
+                           shift, b_incl)
 
 
-PIPE_STAGES = ["gsrc", "gather", "key", "sort", "blocks", "meta", "align",
-               "full"]
+PIPE_STAGES = ["gsrc", "gather", "key", "sort", "blocks", "meta", "full"]
 
 
 def run_pipeline(scene, cam, mi, n_iter):
@@ -243,8 +232,7 @@ def run_pipeline(scene, cam, mi, n_iter):
 
         real = (cs(sb.blocks) + cs(sb.chunk_tile, sb.chunk_first,
                                    sb.chunk_nvalid, sb.chunk_offset, sb.qblk,
-                                   sb.shift, sb.a_by_rank, sb.b_incl,
-                                   sb.sorted_g))
+                                   sb.shift, sb.b_incl))
         stag = staged_sorted_bin(proc, gx, gy, mi, "full")
         return real, stag
 
@@ -292,7 +280,14 @@ def run_pipeline(scene, cam, mi, n_iter):
             return acc + jnp.sum(g.xyz)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
+    @jax.jit
+    def empty_loop(p):
+        def body(i, acc):
+            return acc * 0.5 + jnp.sum(p.xyz[:8, 0]) * (1 + 1e-9 * i)
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
     results = {}
+    results["empty"] = timeit("empty loop baseline", empty_loop, scene.params)
     results["preprocess"] = timeit("preprocess only", pre_only, scene.params)
     prev = results["preprocess"]
     for stage in PIPE_STAGES:
@@ -328,9 +323,10 @@ def run_kernels(scene, cam, mi, n_iter):
                       scene.get_features, cam, alive=scene.alive,
                       active_sh_degree=scene.active_sh_degree,
                       max_sh_degree=scene.max_sh_degree)
-    sb = jax.jit(lambda p: bs.sorted_bin(p, gx, gy, mi))(proc)
-    sb = jax.device_get(sb)
-    sb = jax.tree.map(jnp.asarray, sb)
+    # keep sb resident on device (a device_get of the full pytree
+    # through the relay hits FailedPrecondition)
+    sb = jax.block_until_ready(
+        jax.jit(lambda p: bs.sorted_bin(p, gx, gy, mi))(proc))
 
     fwd_call = pc.make_forward_sorted(ntiles, gx, ch, NC, NB)
     bwd_call = pc.make_backward_sorted(ntiles, gx, ch, NC, NB)
@@ -375,28 +371,280 @@ def run_kernels(scene, cam, mi, n_iter):
     live = 6 + CH1
 
     @jax.jit
+    def sort_only(grows):
+        def body(i, acc):
+            g2 = grows.at[0, 0, 0].add(1e-9 * i)
+            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
+            skey = g2[:, live, :].reshape(-1)
+            sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
+                                   is_stable=True)
+            return acc * 0.5 + jnp.sum(sorted_[1][::4096])
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    @jax.jit
     def reduce_only(grows):
         def body(i, acc):
             g2 = grows.at[0, 0, 0].add(1e-9 * i)
-            rows_al = jnp.swapaxes(g2, 1, 2).reshape(-1, GF)[:, :live]
-            rows_rank = rows_al[sb.a_by_rank]
-            d = pc.rank_space_reduce(rows_rank, sb.b_incl, R)
+            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
+            skey = g2[:, live, :].reshape(-1)
+            sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
+                                   is_stable=True)
+            scols = tuple(s[:R] for s in sorted_[1:])
+            nblk = R // 128
+            xb = bs._make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
+            d = pc.rank_space_reduce_blocked(xb, live, sb.b_incl, R)
             return acc * 0.5 + jnp.sum(d)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
     @jax.jit
-    def gather_only(grows):
+    def sort_asm(grows):
         def body(i, acc):
             g2 = grows.at[0, 0, 0].add(1e-9 * i)
-            rows_al = jnp.swapaxes(g2, 1, 2).reshape(-1, GF)[:, :live]
-            rows_rank = rows_al[sb.a_by_rank]
-            return acc * 0.5 + jnp.sum(rows_rank[::4096])
+            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
+            skey = g2[:, live, :].reshape(-1)
+            sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
+                                   is_stable=True)
+            scols = tuple(s[:R] for s in sorted_[1:])
+            nblk = R // 128
+            xb = bs._make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
+            return acc * 0.5 + jnp.sum(xb[0])
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    @jax.jit
+    def scan_only(xb0):
+        def body(i, acc):
+            x2 = xb0.at[0, 0, 0].add(1e-9 * i)
+            d = pc.rank_space_reduce_blocked(x2, live, sb.b_incl, R)
+            return acc * 0.5 + jnp.sum(d)
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    cols0 = tuple(grows0[:, j, :].reshape(-1)[:R] for j in range(live))
+    xb0 = jax.jit(lambda *c: bs._make_assembly_kernel(R, R // 128, live)(
+        *c)[:R // 128])(*cols0)
 
     timeit("fwd kernel (fixed binning)", fwd_kernel, sb.blocks)
     timeit("bwd kernel (fixed binning)", bwd_kernel, sb.blocks, gall)
-    timeit("bwd reduce: gather only", gather_only, grows0)
-    timeit("bwd reduce: gather + rank scan", reduce_only, grows0)
+    timeit("bwd reduce: rank sort only", sort_only, grows0)
+    timeit("bwd reduce: sort + assembly", sort_asm, grows0)
+    timeit("bwd reduce: blocked scan only", scan_only, xb0)
+    timeit("bwd reduce: rank sort + scan", reduce_only, grows0)
+
+
+def run_pre(scene, cam, mi, n_iter):
+    """Bisect the preprocess stage: full SH path vs override-color (no
+    SH eval / feature concat / transposes) vs its vjp."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.ops.preprocess import preprocess
+
+    timeit = timer(n_iter)
+    colors = jnp.ones((scene.capacity, 3), jnp.float32) * 0.5
+
+    def pre(p, override):
+        s = scene.replace(params=p)
+        return preprocess(
+            s.params.xyz, s.params.log_scales, s.params.quats,
+            s.get_opacity[:, 0], None if override else s.get_features, cam,
+            alive=s.alive, active_sh_degree=s.active_sh_degree,
+            max_sh_degree=s.max_sh_degree,
+            override_color=colors if override else None)
+
+    def consume(pr):
+        return (jnp.sum(pr.mean2d) + jnp.sum(pr.conic) + jnp.sum(pr.color)
+                + jnp.sum(pr.tiles_touched).astype(jnp.float32))
+
+    def loop(override):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pr = pre(p.replace(xyz=p.xyz * (1 + 1e-9 * i)), override)
+                return acc * 0.5 + consume(pr)
+            return jax.lax.fori_loop(0, n_iter, body, 0.0)
+        return run
+
+    def vjp_loop():
+        def loss(p):
+            return consume(pre(p, False))
+
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                g = jax.grad(loss)(p.replace(xyz=p.xyz * (1 + 1e-9 * i)))
+                return acc + jnp.sum(g.xyz)
+            return jax.lax.fori_loop(0, n_iter, body, 0.0)
+        return run
+
+    timeit("preprocess full (SH3)", loop(False), scene.params)
+    timeit("preprocess override-color", loop(True), scene.params)
+    timeit("preprocess fwd+vjp (SH3)", vjp_loop(), scene.params)
+
+
+def run_reduce(scene, cam, mi, n_iter):
+    """Candidate designs for the backward per-Gaussian reduction,
+    bisected: scans (row vs blocked vs per-column layout), boundary
+    gathers (row vs 2-axis-blocked vs 1-D sorted), end-to-end combos."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianeditor_tpu.ops import binning_sorted as bs
+    from gaussianeditor_tpu.ops import pallas_composite as pc
+    from gaussianeditor_tpu.ops.preprocess import TILE
+
+    gx = cam.width // TILE
+    ntiles = gx * gx
+    R, NB, NC = bs.sorted_capacities(mi, ntiles)
+    C = scene.params.xyz.shape[0]
+    GF = 16
+    live = 10
+    nblk = R // 128
+    timeit = timer(n_iter)
+    rng = np.random.RandomState(5)
+
+    rows = jnp.asarray(rng.randn(R, GF).astype(np.float32))
+    xb = jnp.swapaxes(rows.reshape(nblk, 128, GF), 1, 2)  # [nblk, GF, 128]
+    counts = rng.multinomial(R - 1000, np.ones(C) / C)
+    b_incl = jnp.asarray(np.cumsum(counts).astype(np.int32))
+    S_rows = jnp.asarray(rng.randn(R + 128, GF).astype(np.float32))
+    S_blk = jnp.swapaxes(S_rows.reshape(nblk + 1, 128, GF), 1, 2)
+    S_cols = jnp.asarray(rng.randn(GF, R + 128).astype(np.float32))
+    b_hi = jnp.minimum(b_incl, R)
+    b_lo = jnp.minimum(jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), b_incl[:-1]]), R)
+
+    def loop(fn):
+        @jax.jit
+        def run(*args):
+            def body(i, acc):
+                return acc * 0.5 + fn(i, *args)
+            return jax.lax.fori_loop(0, n_iter, body, 0.0)
+        return run
+
+    timeit("scan row-layout (old)", loop(
+        lambda i, r, b: jnp.sum(pc.rank_space_reduce(
+            r.at[0, 0].add(1e-9 * i), b, R))), rows, b_incl)
+    timeit("scan blocked (new, incl boundary)", loop(
+        lambda i, x, b: jnp.sum(pc.rank_space_reduce_blocked(
+            x.at[0, 0, 0].add(1e-9 * i), live, b, R))), xb, b_incl)
+
+    def blocked_noboundary(i, x):
+        x = x.at[0, 0, 0].add(1e-9 * i)
+        tri_b = pc._tri_excl().astype(jnp.bfloat16)
+        x1 = x.astype(jnp.bfloat16)
+        r1 = x - x1.astype(jnp.float32)
+        x2 = r1.astype(jnp.bfloat16)
+        x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def pref(xs):
+            return jnp.einsum("bck,kj->bcj", xs, tri_b,
+                              preferred_element_type=jnp.float32)
+
+        ipx = pref(x1) + pref(x2) + pref(x3)
+        return jnp.sum(ipx[:, :, 127])
+
+    timeit("blocked einsum prefix only", loop(blocked_noboundary), xb)
+
+    timeit("boundary: row gather S[b]", loop(
+        lambda i, S, h, l: jnp.sum(S[h + (i & 0)] - S[l])),
+        S_rows, b_hi, b_lo)
+    timeit("boundary: 2-axis blocked gather", loop(
+        lambda i, S, h, l: jnp.sum(
+            S[(h + (i & 0)) // 128, :, h % 128] - S[l // 128, :, l % 128])),
+        S_blk, b_hi, b_lo)
+
+    def boundary_cols(i, S, h, l):
+        h = h + (i & 0)
+        acc = jnp.float32(0)
+        for c_ in range(GF):
+            acc += jnp.sum(jnp.take(S[c_], h, indices_are_sorted=True)
+                           - jnp.take(S[c_], l, indices_are_sorted=True))
+        return acc
+
+    timeit("boundary: 20x 1-D sorted takes", loop(boundary_cols),
+           S_cols, b_hi, b_lo)
+
+    def percol_scan(i, x):
+        # per-column [nblk,128] prefix + 1-D sorted boundary takes
+        x = x.at[0, 0, 0].add(1e-9 * i)
+        tri_b = pc._tri_excl().astype(jnp.bfloat16)
+        acc = jnp.float32(0)
+        for c_ in range(live):
+            xc = x[:, c_, :]                        # [nblk, 128]
+            x1 = xc.astype(jnp.bfloat16)
+            r1 = xc - x1.astype(jnp.float32)
+            x2 = r1.astype(jnp.bfloat16)
+            x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def pref(xs):
+                return jnp.dot(xs, tri_b,
+                               preferred_element_type=jnp.float32)
+
+            ipx = pref(x1) + pref(x2) + pref(x3)
+            P = ipx[:, 127] + xc[:, 127]
+            mu = jnp.mean(P)
+            base = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32),
+                 jnp.cumsum(P - mu)]) + mu * jnp.arange(
+                     nblk + 1, dtype=jnp.float32)
+            S = (jnp.concatenate(
+                [ipx, jnp.zeros((1, 128), jnp.float32)])
+                + base[:, None]).reshape(-1)
+            acc += jnp.sum(jnp.take(S, b_hi, indices_are_sorted=True)
+                           - jnp.take(S, b_lo, indices_are_sorted=True))
+        return acc
+
+    timeit("per-column scan + sorted takes", loop(percol_scan), xb)
+
+    # composed scan+boundary variants on the blocked layout
+    def scan_variant(boundary, precision):
+        def fn(i, x, b):
+            x = x.at[0, 0, 0].add(1e-9 * i)
+            GF_ = x.shape[1]
+            tri = pc._tri_excl()
+            if precision == "split3":
+                tri_b = tri.astype(jnp.bfloat16)
+                x1 = x.astype(jnp.bfloat16)
+                r1 = x - x1.astype(jnp.float32)
+                x2 = r1.astype(jnp.bfloat16)
+                x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def pref(xs):
+                    return jnp.einsum("bck,kj->bcj", xs, tri_b,
+                                      preferred_element_type=jnp.float32)
+
+                ipx = pref(x1) + pref(x2) + pref(x3)
+            else:
+                ipx = jnp.einsum("bck,kj->bcj", x, tri,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            P = ipx[:, :, 127] + x[:, :, 127]
+            mu = jnp.mean(P, axis=0, keepdims=True)
+            bpc = jnp.concatenate(
+                [jnp.zeros((1, GF_), jnp.float32),
+                 jnp.cumsum(P - mu, axis=0, dtype=jnp.float32)], axis=0)
+            base = bpc + mu * jnp.arange(
+                x.shape[0] + 1, dtype=jnp.float32)[:, None]
+            S = jnp.concatenate(
+                [ipx, jnp.zeros((1, GF_, 128), jnp.float32)]
+            ) + base[:, :, None]
+            if boundary == "rowgather":
+                S_rows = jnp.swapaxes(S, 1, 2).reshape(-1, GF_)
+                d = S_rows[b] - S_rows[jnp.maximum(b - 7, 0)]
+            else:
+                d = (S[b // 128, :, b % 128]
+                     - S[jnp.maximum(b - 7, 0) // 128, :,
+                         jnp.maximum(b - 7, 0) % 128])
+            return jnp.sum(d)
+        return fn
+
+    timeit("scan split3 + 2axis (cur)", loop(scan_variant("2axis", "split3")),
+           xb, b_hi)
+    timeit("scan split3 + rowgather", loop(scan_variant("rowgather",
+                                                        "split3")), xb, b_hi)
+    timeit("scan HIGHEST + rowgather", loop(scan_variant("rowgather",
+                                                         "highest")), xb, b_hi)
+    timeit("scan HIGHEST + 2axis", loop(scan_variant("2axis", "highest")),
+           xb, b_hi)
 
 
 def run_micro(scene, cam, mi, n_iter):
@@ -458,7 +706,7 @@ def run_micro(scene, cam, mi, n_iter):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "kernels", "micro"])
+                    choices=["pipeline", "kernels", "micro", "pre", "reduce"])
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--mi", type=int, default=393_216)
@@ -472,6 +720,10 @@ def main():
         run_pipeline(scene, cam, args.mi, args.iters)
     elif args.mode == "kernels":
         run_kernels(scene, cam, args.mi, args.iters)
+    elif args.mode == "pre":
+        run_pre(scene, cam, args.mi, args.iters)
+    elif args.mode == "reduce":
+        run_reduce(scene, cam, args.mi, args.iters)
     else:
         run_micro(scene, cam, args.mi, args.iters)
 

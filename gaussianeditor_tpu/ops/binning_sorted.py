@@ -27,17 +27,19 @@ Pipeline (all static shapes; C = Gaussian capacity, R = instance budget):
      duplicateWithKeys :81-95) -> fused [tile | depth-bits] 32-bit key
      (rasterizer_impl.cu:256-261) AND the transposed payload [16, R]
      whose rows are contiguous [R] sort operands.
-  4. ONE stable lax.sort: key + payload columns + gsrc + rank. This is
-     the CUB radix-sort analog and now also performs the "pack".
+  4. ONE stable lax.sort: key + payload columns + rank. This is the
+     CUB radix-sort analog and now also performs the "pack".
   5. Chunk-aligned metadata via 1-D scans (as v4): chunks of 128 never
      straddle a tile; per-chunk (tile, first, n_valid, offset) plus the
      block/shift pair (qblk, shift) that lets the compositor kernels
      read sorted rows [p0, p0+128) from the 128-blocked payload with a
      dynamic lane roll — no aligned instance matrix is ever
      materialized.
-  6. a_by_rank via ONE int-pair sort (permutation inversion at sort
-     cost) — consumed only by the backward's deterministic
-     cumsum-difference reduction; DCE'd in forward-only renders.
+  6. the pre-sort RANK rides the payload blocks (row P, f32-exact):
+     the backward kernel re-emits it per gradient row, so the
+     deterministic per-Gaussian reduction is ONE rank-keyed sort of the
+     gradient rows + the analytic b_incl boundary differences — no
+     aligned->rank gather, no alignment maps, no inversion sort.
 
 No per-Gaussian tile cap; `overflow` + the host re-render-at-double
 policy replace CUDA's dynamic buffer resize (rasterizer_impl.cu:236-244).
@@ -84,9 +86,7 @@ class SortedBinning(NamedTuple):
     qblk: jnp.ndarray          # [NC] i32 payload block of the chunk's row 0
     shift: jnp.ndarray         # [NC] i32 lane offset within that block
     tile_nonempty: jnp.ndarray  # [num_tiles] bool
-    a_by_rank: jnp.ndarray     # [R] i32 aligned position of pre-sort rank
     b_incl: jnp.ndarray        # [C] i32 inclusive cumsum of tiles_touched
-    sorted_g: jnp.ndarray      # [R] i32 source Gaussian per sorted row
     num_rendered: jnp.ndarray  # scalar i32
     overflow: jnp.ndarray      # scalar bool
 
@@ -296,25 +296,33 @@ def sorted_bin(
         key = key[:R]
         rt = rt[:, :R]
 
-    # --- the fat sort: key + payload columns + gsrc + rank ---
+    # --- the fat sort: key + payload columns + rank (gsrc is NOT
+    # carried: the v5 backward reduces in rank space at the analytic
+    # b_incl boundaries and never needs the per-row source id) ---
     q = jnp.arange(R, dtype=jnp.int32)
-    ops = (key,) + tuple(rt[i] for i in range(P)) + (gsrc, q)
+    ops = (key,) + tuple(rt[i] for i in range(P)) + (q,)
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     skey = sorted_ops[0]
     scols = sorted_ops[1:1 + P]
-    sg = sorted_ops[1 + P]
-    srank = sorted_ops[2 + P]
+    srank = sorted_ops[1 + P]
     stile = (skey >> key_depth_bits).astype(jnp.int32)  # invalid -> marker > T
 
-    # --- block-transposed payload [NB, 16, CHUNK] (last block zero) ---
+    # --- block-transposed payload [NB, 16, CHUNK] (last block zero).
+    # Row P carries the pre-sort RANK (f32-exact, R <= 2^24 guarded
+    # above): the backward kernel re-emits it per gradient row so the
+    # per-Gaussian reduction can sort gradient rows straight into rank
+    # order — replacing the old aligned->rank random row gather
+    # (~3.1 ms) + alignment-map scans + inversion sort (see
+    # pallas_composite.make_pallas_compositor_sorted). ---
+    bcols = scols + (srank.astype(jnp.float32),)
     if R % KEY_BLK == 0:
-        blocks = _make_assembly_kernel(R, NB, P)(*scols)[:NB]
+        blocks = _make_assembly_kernel(R, NB, P + 1)(*bcols)[:NB]
     else:
         # XLA fallback for small/unaligned budgets (tests, probes)
         nbr = NB * CHUNK - R
         blocks = jnp.stack(
-            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in scols]
-            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P),
+            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in bcols]
+            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P - 1),
             axis=1,
         )
 
@@ -351,24 +359,6 @@ def sorted_bin(
     qblk = row0 // CHUNK
     shift = row0 - qblk * CHUNK
 
-    # aligned position of each sorted row (consumed only via a_by_rank).
-    # Built from R-sized SCANS, not table gathers: an R-sized gather from
-    # a [T+1] table costs ~1.6 ms on this chip (gather-latency-bound,
-    # bench/prof_r20.py) and `a` would need two of them; the
-    # cummax+cumsum pair is ~0.9 ms total. Dead rows (stile > T marker)
-    # form one trailing segment whose aligned positions start at the
-    # CHUNK-aligned end of the live spans — they land only in inactive
-    # (kernel-zeroed) chunks, so their gathered gradient rows are zero.
-    p = jnp.arange(R, dtype=jnp.int32)
-    is_b = jnp.concatenate([jnp.ones((1,), bool), stile[1:] != stile[:-1]])
-    tstart = jax.lax.cummax(jnp.where(is_b, p, -1))
-    tprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tstart[:-1]])
-    u = jnp.where(is_b & (p > 0), _pad_chunk(p - tprev), 0)
-    a = jnp.cumsum(u) + (p - tstart)
-
-    # --- backward map: aligned position of each pre-sort rank ---
-    _, a_by_rank = jax.lax.sort((srank, a), num_keys=1, is_stable=True)
-
     return SortedBinning(
         blocks=blocks,
         chunk_tile=tile_c.astype(jnp.int32),
@@ -378,9 +368,7 @@ def sorted_bin(
         qblk=qblk.astype(jnp.int32),
         shift=shift.astype(jnp.int32),
         tile_nonempty=tile_nonempty,
-        a_by_rank=a_by_rank,
         b_incl=b_incl,
-        sorted_g=sg,
         num_rendered=total,
         overflow=total > R,
     )

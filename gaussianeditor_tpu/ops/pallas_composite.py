@@ -537,10 +537,15 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     """v5 backward: forward-order suffix reconstruction as
     `make_backward`, instance data read via the same two-block dynamic
     roll as the v5 forward. Gradient rows still land in disjoint
-    chunk-blocked output blocks (deterministic, no atomics)."""
+    chunk-blocked output blocks (deterministic, no atomics); row
+    `6+CH1` of each block carries the instance's PRE-SORT RANK (from
+    payload row P, dead lanes -> R) so the per-Gaussian reduction can
+    sort the rows straight into rank order (see composite_bwd)."""
     CH1 = ch + 1
-    F = _pad8(7 + ch)
-    GF = _pad8(6 + CH1)
+    P = 7 + ch
+    F = _pad8(P + 1)              # payload rows + the rank row
+    GF = _pad8(6 + CH1 + 1)       # gradient rows + the rank row
+    R_sent = float((nb - 1) * CHUNK)  # rank sentinel for dead lanes
 
     def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref, act_ref,
                b0_ref, b1_ref, gall_ref, grad_ref, logt_sc, s_sc, stot_sc):
@@ -558,7 +563,18 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             )
 
         n_valid = nv_ref[c]
-        grad_ref[0] = jnp.zeros((GF, CHUNK), jnp.float32)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        # the rank row is emitted for EVERY chunk (incl. act == 0 ones
+        # whose gradient rows are analytically zero): each live rank must
+        # appear exactly once for the rank-keyed reduction sort, dead
+        # lanes carry the R sentinel and sort past every live rank
+        s2 = jnp.concatenate(
+            [b0_ref[0, P:P + 1], b1_ref[0, P:P + 1]], axis=1)
+        srow = pltpu.roll(s2, -sf_ref[c], axis=1)[:, :CHUNK]
+        srk = jnp.where(lane0 < n_valid, srow, R_sent)
+        grad_ref[0] = jnp.concatenate(
+            [jnp.zeros((6 + CH1, CHUNK), jnp.float32), srk,
+             jnp.zeros((GF - 6 - CH1 - 1, CHUNK), jnp.float32)], axis=0)
 
         @pl.when(act_ref[c] == 1)
         def _compute():
@@ -648,10 +664,11 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                     -0.5 * sdyy,
                     dop_row,
                     gfeat,
+                    srk,
                 ],
                 axis=0,
             )
-            pad = GF - (6 + CH1)
+            pad = GF - (6 + CH1 + 1)
             if pad:
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((pad, CHUNK), jnp.float32)], axis=0
@@ -756,10 +773,57 @@ def rank_space_reduce(rows_rank: jnp.ndarray, b_incl: jnp.ndarray,
     # prefix table with one broadcast add (padding block keeps b = R valid)
     S = (jnp.concatenate([ipx, jnp.zeros((1, CHUNK, GF), jnp.float32)])
          + base[:, None, :]).reshape(-1, GF)
+    # b_lo[g] = b_hi[g-1] (segments tile the rank range): ONE gather +
+    # a shifted difference replaces the two boundary gathers
     b_hi = jnp.minimum(b_incl, R)
-    b_lo = jnp.minimum(
-        jnp.concatenate([jnp.zeros((1,), b_incl.dtype), b_incl[:-1]]), R)
-    return S[b_hi] - S[b_lo]
+    G = S[b_hi]
+    return G - jnp.concatenate([jnp.zeros((1, GF), jnp.float32), G[:-1]])
+
+
+def rank_space_reduce_blocked(xb: jnp.ndarray, live: int,
+                              b_incl: jnp.ndarray, R: int) -> jnp.ndarray:
+    """`rank_space_reduce` on COLUMN-BLOCKED input xb [nblk, 16, CHUNK]
+    (xb[b, c, l] = column c of rank b*CHUNK + l; columns >= live are
+    zero). The [R, GF] row layout puts GF=10-16 on the lane axis, which
+    starves both the scan matmul and the XLA relayouts feeding it (the
+    post-sort jnp.stack alone measured ~1.7 ms at R=352k); here the
+    scan contracts the LANE (rank) axis with (block, col) as the MXU M
+    dimension. Same mean-centered two-level scan + b_incl boundary
+    difference; summation order per Gaussian is rank order, identical
+    to rank_space_reduce."""
+    assert R % CHUNK == 0
+    nblk = R // CHUNK
+    GF = xb.shape[1]
+    tri_b = _tri_excl().astype(jnp.bfloat16)
+    x1 = xb.astype(jnp.bfloat16)
+    r1 = xb - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _pref(xs):
+        # [nblk, GF, k] @ [k, j]: contraction on lanes, (nblk, GF) = M
+        return jnp.einsum("bck,kj->bcj", xs, tri_b,
+                          preferred_element_type=jnp.float32)
+
+    ipx = _pref(x1) + _pref(x2) + _pref(x3)        # exclusive prefixes
+    P = ipx[:, :, CHUNK - 1] + xb[:, :, CHUNK - 1]  # [nblk, GF] block sums
+    mu = jnp.mean(P, axis=0, keepdims=True)
+    bpc = jnp.concatenate(
+        [jnp.zeros((1, GF), jnp.float32),
+         jnp.cumsum(P - mu, axis=0, dtype=jnp.float32)], axis=0)
+    base = bpc + mu * jnp.arange(nblk + 1, dtype=jnp.float32)[:, None]
+    # row-major S for the boundary lookup: a 2-axis gather straight off
+    # the blocked layout measured 6.2 ms vs relayout + row gather 1.4
+    # (bench/profiler.py --mode reduce); and since b_lo[g] = b_hi[g-1]
+    # (segments tile the rank range), ONE gather + a shifted difference
+    # replaces the two gathers.
+    S_rows = jnp.swapaxes(
+        jnp.concatenate([ipx, jnp.zeros((1, GF, CHUNK), jnp.float32)])
+        + base[:, :, None], 1, 2).reshape(-1, GF)
+    b_hi = jnp.minimum(b_incl, R)
+    G = S_rows[b_hi]                               # [C, GF]
+    d = G - jnp.concatenate([jnp.zeros((1, GF), jnp.float32), G[:-1]])
+    return d[:, :live]
 
 
 @functools.lru_cache(maxsize=None)
@@ -1001,7 +1065,6 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
 
     assert SCHUNK == CHUNK
     CH1 = ch + 1
-    GF = _pad8(6 + CH1)
     R, NB, NC = sorted_capacities(max_instances, n_tiles)
     fwd_call = make_forward_sorted(n_tiles, grid_x, ch, NC, NB)
     bwd_call = make_backward_sorted(n_tiles, grid_x, ch, NC, NB)
@@ -1043,18 +1106,38 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
             sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid, sb.chunk_offset,
             sb.qblk, sb.shift, active, sb.blocks, sb.blocks, gall,
         )
-        # deterministic rank-space reduction (see the v4 docstring): rows
-        # gathered into pre-sort rank order, mean-centered cumsum +
-        # boundary difference at the analytic b_incl ranges. Only the
-        # 6+CH1 live columns ride the gather + scan (GF pads to 16 for
-        # the kernel's sublane alignment only).
+        # deterministic rank-space reduction: ONE stable sort keyed by
+        # the rank row the kernel emitted (row `live`; dead lanes carry
+        # the R sentinel and fall past every live rank) puts the
+        # gradient rows into pre-sort rank order, then the column-
+        # blocked mean-centered scan + boundary difference at the
+        # analytic b_incl ranges sums them per Gaussian. This replaced
+        # the aligned->rank random row gather + alignment-map scans +
+        # inversion sort (gather alone measured 3.1 ms at R=352k,
+        # bench/profiler.py round 4); summation order per Gaussian is
+        # identical (rank order), so gradients are bitwise-unchanged.
         live = 6 + CH1
-        rows_al = jnp.swapaxes(grows, 1, 2).reshape(-1, GF)[:, :live]
-        rows_rank = rows_al[sb.a_by_rank]                    # [R, live]
-        # XLA's cumsum measures 0.87 ms here; a Pallas triangular-matmul
-        # scan was tried and measured 2.7 ms (16-lane blocks starve the
-        # MXU) — bench/prof_r12.py
-        d = rank_space_reduce(rows_rank, sb.b_incl, R)
+        cols = tuple(grows[:, i, :].reshape(-1)[: NC * CHUNK]
+                     for i in range(live))
+        skey = grows[:, live, :].reshape(-1)       # f32 rank | R sentinel
+        sorted_ = jax.lax.sort((skey,) + cols, num_keys=1, is_stable=True)
+        scols = tuple(s[:R] for s in sorted_[1:])
+        from gaussianeditor_tpu.ops.binning_sorted import (
+            KEY_BLK,
+            _make_assembly_kernel,
+        )
+
+        nblk = R // CHUNK
+        if R % KEY_BLK == 0:
+            # restack sorted columns into [nblk, 16, CHUNK] with the
+            # Pallas assembly kernel (the XLA stack measured ~1.7 ms)
+            xb = _make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
+        else:
+            pad_cols = list(scols) + [jnp.zeros((R,), jnp.float32)] * (
+                16 - live)
+            xb = jnp.swapaxes(
+                jnp.stack(pad_cols, axis=1).reshape(nblk, CHUNK, 16), 1, 2)
+        d = rank_space_reduce_blocked(xb, live, sb.b_incl, R)
         return (d[:, 0:2], d[:, 2:5], d[:, 5], d[:, 6:6 + ch],
                 d[:, 6 + ch], None)
 

@@ -83,6 +83,31 @@ def test_rank_reduce_matches_float64_oracle_at_production_R():
     assert float((err[big] / denom).max()) < 2.5e-4
 
 
+def test_blocked_reduce_matches_row_reduce():
+    """The v5 column-blocked reduction (rank_space_reduce_blocked, fed
+    by the rank-keyed sort) computes the SAME two-level scan as the row
+    variant — outputs must agree to fp-roundoff on the adversarial
+    production-scale case."""
+    from gaussianeditor_tpu.ops.pallas_composite import (
+        rank_space_reduce_blocked,
+    )
+
+    rows, b_incl, C = _adversarial_case(seed=3)
+    nblk = R // 128
+    xb = jnp.swapaxes(
+        jnp.asarray(rows).reshape(nblk, 128, GF), 1, 2)  # [nblk, GF, 128]
+
+    d_row = np.asarray(jax.jit(
+        lambda r, b: rank_space_reduce(r, b, R)
+    )(jnp.asarray(rows), jnp.asarray(b_incl)))
+    d_blk = np.asarray(jax.jit(
+        lambda x, b: rank_space_reduce_blocked(x, GF, b, R)
+    )(xb, jnp.asarray(b_incl)))
+
+    scale = np.sqrt(np.mean(d_row**2, axis=0, keepdims=True)) + 1e-30
+    np.testing.assert_allclose(d_blk / scale, d_row / scale, atol=1e-5)
+
+
 def test_rank_reduce_exact_on_integers():
     """Sanity: with small-integer rows (exactly representable, zero
     cancellation) the reduction is EXACT — errors in the adversarial
