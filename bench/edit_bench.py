@@ -34,13 +34,16 @@ def measure(step, state, cam_batch, targets, n_iter=10, repeats=5):
             0, n_iter, lambda i, s: step(s, cam_batch, targets)[0], st
         )
 
-    out = run_n(state)
-    jax.block_until_ready(out.scene.params.xyz)
+    def sync(out):
+        # float()-sync: block_until_ready has been observed to return
+        # WITHOUT syncing through the axon relay (.claude/skills/verify)
+        return float(out.scene.params.xyz[0, 0])
+
+    sync(run_n(state))
     times = []
     for _ in range(repeats):  # median: the tunnel varies +-20% run-to-run
         t0 = time.perf_counter()
-        out = run_n(state)
-        jax.block_until_ready(out.scene.params.xyz)
+        sync(run_n(state))
         times.append((time.perf_counter() - t0) / n_iter)
     times.sort()
     return times[len(times) // 2]

@@ -21,30 +21,49 @@ import jax.numpy as jnp
 
 
 def _down2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x average-pool downsample of [H, W, C] (crop odd remainder)."""
+    """2x average-pool downsample of [H, W, C] (crop odd remainder).
+
+    Reshape-mean, NOT four strided slices: on TPU each odd-strided
+    slice of an image is a relayout; the original formulation cost
+    ~9.5 ms forward at 512^2 on a v5e via the tunnel (docs/perf_log.md
+    round 4) — this one is ~100x cheaper."""
     h, w = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
     x = x[:h, :w]
-    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+    return x.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
 
 
-def _grad_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    dax = a[:, 1:] - a[:, :-1]
-    day = a[1:, :] - a[:-1, :]
-    dbx = b[:, 1:] - b[:, :-1]
-    dby = b[1:, :] - b[:-1, :]
-    return jnp.mean(jnp.abs(dax - dbx)) + jnp.mean(jnp.abs(day - dby))
+def _grad_l1(d: jnp.ndarray) -> jnp.ndarray:
+    """mean |gradient| of a difference image [H, W, C].
+
+    roll + masked sum rather than [H, W-1] slicing: odd-shaped slices
+    (and their pad VJPs) each relayout on TPU; the full-shape roll keeps
+    power-of-two layouts. Values are exactly the sliced formulation's
+    (the wrapped column/row is masked out of the mean)."""
+    H, W, C = d.shape
+    dx = jnp.roll(d, -1, axis=1) - d
+    dy = jnp.roll(d, -1, axis=0) - d
+    mx = (jnp.arange(W) < W - 1).astype(d.dtype)[None, :, None]
+    my = (jnp.arange(H) < H - 1).astype(d.dtype)[:, None, None]
+    return (jnp.sum(jnp.abs(dx) * mx) / (H * (W - 1) * C)
+            + jnp.sum(jnp.abs(dy) * my) / ((H - 1) * W * C))
 
 
 def multiscale_gradient_loss(pred: jnp.ndarray, target: jnp.ndarray,
                              levels: int = 3) -> jnp.ndarray:
-    """Edge-structure distance over an image pyramid; [H, W, C] inputs."""
+    """Edge-structure distance over an image pyramid; [H, W, C] inputs.
+
+    Pooling and differencing are LINEAR, so the whole pyramid runs on
+    the single difference image d = pred - target: gradients of the
+    difference equal differences of the gradients, and down2(a) -
+    down2(b) = down2(a - b) — values are exactly the two-pyramid
+    formulation's, at half the slicing."""
     loss = 0.0
-    a, b = pred, target
+    d = pred - target
     for _ in range(levels):
-        loss = loss + _grad_l1(a, b)
-        if min(a.shape[0], a.shape[1]) < 8:
+        loss = loss + _grad_l1(d)
+        if min(d.shape[0], d.shape[1]) < 8:
             break
-        a, b = _down2(a), _down2(b)
+        d = _down2(d)
     return loss
 
 
