@@ -647,6 +647,171 @@ def run_reduce(scene, cam, mi, n_iter):
            xb, b_hi)
 
 
+def run_ablate(scene, cam, mi, n_iter):
+    """Forward-kernel cost attribution via perf-only ablations (ablated
+    variants are numerically WRONG — timing only) + one real candidate:
+    the multiplicative roll-scan prefix replacing log1p + tri-matmul +
+    exp."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gaussianeditor_tpu.ops import binning_sorted as bs
+    from gaussianeditor_tpu.ops import pallas_composite as pc
+    from gaussianeditor_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_MIN
+    from gaussianeditor_tpu.ops.preprocess import TILE, preprocess
+
+    gx = cam.width // TILE
+    ntiles = gx * gx
+    ch = 3
+    CH1 = ch + 1
+    F = pc._pad8(7 + ch + 1)
+    PX, CHUNK = pc.PX, pc.CHUNK
+    R, NB, NC = bs.sorted_capacities(mi, ntiles)
+    timeit = timer(n_iter)
+
+    proc = preprocess(scene.params.xyz, scene.params.log_scales,
+                      scene.params.quats, scene.get_opacity[:, 0],
+                      scene.get_features, cam, alive=scene.alive,
+                      active_sh_degree=scene.active_sh_degree,
+                      max_sh_degree=scene.max_sh_degree)
+    sb = jax.block_until_ready(
+        jax.jit(lambda p: bs.sorted_bin(p, gx, gx, mi))(
+            proc))
+
+    def make_fwd(variant):
+        def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref,
+                   b0_ref, b1_ref, out_ref, done_sc):
+            c = pl.program_id(0)
+            tile = ct_ref[c]
+            pixf_x, pixf_y = pc._pix_coords(tile % gx, tile // gx)
+
+            @pl.when(cf_ref[c] == 1)
+            def _init():
+                out_ref[0] = jnp.concatenate(
+                    [jnp.zeros((PX, CH1), jnp.float32),
+                     jnp.ones((PX, 1), jnp.float32),
+                     jnp.zeros((PX, 1), jnp.float32)], axis=1)
+                done_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+
+            n_valid = nv_ref[c]
+            not_all_done = jnp.sum(done_sc[:]) < PX
+            if variant == "empty":
+                return
+
+            @pl.when((n_valid > 0) & not_all_done)
+            def _compute():
+                if variant == "noroll":
+                    buf = b0_ref[0, :7 + ch]
+                else:
+                    x2 = jnp.concatenate(
+                        [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
+                    buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
+                xs, ys = buf[0:1, :], buf[1:2, :]
+                cxx, cxy, cyy = buf[2:3, :], buf[3:4, :], buf[4:5, :]
+                op = buf[5:6, :]
+                T = out_ref[0, :, CH1][:, None]
+                done = done_sc[:]
+                dx = xs - pixf_x
+                dy = ys - pixf_y
+                power = (-0.5 * (cxx * dx * dx + cyy * dy * dy)
+                         - cxy * dx * dy)
+                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                skipped = ((power > 0.0) | (alpha < ALPHA_MIN)
+                           | (lane >= n_valid))
+                alpha_s = jnp.where(skipped, 0.0, alpha)
+                if variant == "multscan":
+                    # multiplicative roll-scan: INCLUSIVE product of
+                    # (1 - alpha_s), then TPx = T * P/(1-a) ... use
+                    # exclusive by one extra shift
+                    f = 1.0 - alpha_s
+                    p = f
+                    s = 1
+                    while s < CHUNK:
+                        sh = pltpu.roll(p, s, axis=1)
+                        sh = jnp.where(lane < s, 1.0, sh)
+                        p = p * sh
+                        s *= 2
+                    pex = pltpu.roll(p, 1, axis=1)
+                    pex = jnp.where(lane < 1, 1.0, pex)
+                    TPx = T * pex
+                    TP = TPx * f
+                elif variant == "noprefix":
+                    TPx = T
+                    TP = TPx * (1.0 - alpha_s)
+                else:
+                    lf = jnp.log1p(-alpha_s)
+                    excl = pc._dot3(lf, pc._tri_excl())
+                    TPx = T * jnp.exp(excl)
+                    TP = TPx * (1.0 - alpha_s)
+                not_done_px = done < 0.5
+                contributes = not_done_px & (~skipped) & (TP >= T_MIN)
+                crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
+                                  keepdims=True)
+                done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
+                w = jnp.where(contributes, alpha * TPx, 0.0)
+                featd = jnp.concatenate(
+                    [buf[7:7 + ch, :], buf[6:7, :]], axis=0)
+                acc_new = out_ref[0, :, :CH1] + pc._dot(
+                    w, featd, ((1,), (1,)))
+                if variant == "multscan":
+                    T_new = jnp.min(jnp.where(contributes, TP, T), axis=-1,
+                                    keepdims=True)
+                else:
+                    lf = jnp.log1p(-alpha_s)
+                    T_new = T * jnp.exp(jnp.sum(
+                        jnp.where(contributes, lf, 0.0), axis=-1,
+                        keepdims=True))
+                pos1 = co_ref[c] + lane + 1
+                nc_new = jnp.max(
+                    jnp.where(contributes, pos1, 0).astype(jnp.float32),
+                    axis=-1, keepdims=True)
+                nc_upd = jnp.maximum(out_ref[0, :, CH1 + 1][:, None], nc_new)
+                out_ref[0] = jnp.concatenate([acc_new, T_new, nc_upd],
+                                             axis=1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(NC,),
+            in_specs=[
+                pl.BlockSpec((1, F, CHUNK),
+                             lambda c, ct, cf, nv, co, qb, sf:
+                             (qb[c], 0, 0)),
+                pl.BlockSpec((1, F, CHUNK),
+                             lambda c, ct, cf, nv, co, qb, sf:
+                             (qb[c] + 1, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, PX, CH1 + 2),
+                             lambda c, ct, cf, nv, co, qb, sf:
+                             (ct[c], 0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((PX, 1), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((ntiles, PX, CH1 + 2),
+                                            jnp.float32)],
+            interpret=jax.default_backend() == "cpu")
+
+    for variant in ["full", "empty", "noroll", "noprefix", "multscan"]:
+        call = make_fwd(variant)
+
+        @jax.jit
+        def run(blocks, call=call):
+            def body(i, acc):
+                blk = blocks.at[0, 0, 0].add(1e-9 * i)
+                (out,) = call(sb.chunk_tile, sb.chunk_first,
+                              sb.chunk_nvalid, sb.chunk_offset, sb.qblk,
+                              sb.shift, blk, blk)
+                return acc * 0.5 + jnp.sum(out[..., :CH1])
+            return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+        timeit(f"fwd kernel [{variant}]", run, sb.blocks)
+
+
 def run_micro(scene, cam, mi, n_iter):
     import jax
     import jax.numpy as jnp
@@ -706,7 +871,7 @@ def run_micro(scene, cam, mi, n_iter):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "kernels", "micro", "pre", "reduce"])
+                    choices=["pipeline", "kernels", "micro", "pre", "reduce", "ablate"])
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--mi", type=int, default=393_216)
@@ -724,6 +889,8 @@ def main():
         run_pre(scene, cam, args.mi, args.iters)
     elif args.mode == "reduce":
         run_reduce(scene, cam, args.mi, args.iters)
+    elif args.mode == "ablate":
+        run_ablate(scene, cam, args.mi, args.iters)
     else:
         run_micro(scene, cam, args.mi, args.iters)
 

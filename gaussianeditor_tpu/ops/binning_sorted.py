@@ -86,6 +86,7 @@ class SortedBinning(NamedTuple):
     qblk: jnp.ndarray          # [NC] i32 payload block of the chunk's row 0
     shift: jnp.ndarray         # [NC] i32 lane offset within that block
     tile_nonempty: jnp.ndarray  # [num_tiles] bool
+    tile_bounds: jnp.ndarray   # [num_tiles+1] i32 first sorted row per tile
     b_incl: jnp.ndarray        # [C] i32 inclusive cumsum of tiles_touched
     num_rendered: jnp.ndarray  # scalar i32
     overflow: jnp.ndarray      # scalar bool
@@ -368,6 +369,7 @@ def sorted_bin(
         qblk=qblk.astype(jnp.int32),
         shift=shift.astype(jnp.int32),
         tile_nonempty=tile_nonempty,
+        tile_bounds=bounds,
         b_incl=b_incl,
         num_rendered=total,
         overflow=total > R,

@@ -532,6 +532,126 @@ def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     )
 
 
+def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
+    """v6 forward: grid over TILES (not chunks), looping that tile's
+    chunks in-kernel with hand-rolled double-buffered DMA from the
+    128-blocked sorted payload.
+
+    Why: the chunk-grid kernel paid ~556 ns of per-grid-step sequencing
+    overhead — 2.1 ms of a 5.4 ms kernel at NC=3777 (profiler --mode
+    ablate, round 4). A 16x16-tile 512^2 frame has only 1024 tiles, and
+    a tile's chunks are CONSECUTIVE payload blocks at one constant lane
+    shift (row0 % CHUNK is per-tile), so one grid step per tile streams
+    blocks qb0+k with a 3-slot ring buffer and carries (acc, T, nc,
+    done) in a fori_loop instead of revisiting output blocks.
+
+    Scalar prefetch: bounds [T+1] (first sorted row per tile, from
+    binning's searchsorted). Same math as make_forward_sorted."""
+    CH1 = ch + 1
+    F = _pad8(7 + ch)
+    OUTC = CH1 + 2
+
+    def kernel(bounds_ref, hbm_ref, out_ref, buf_sc, sem):
+        t = pl.program_id(0)
+        pixf_x, pixf_y = _pix_coords(t % grid_x, t // grid_x)
+        row0 = bounds_ref[t]
+        cnt = bounds_ref[t + 1] - row0
+        n_chunks = (cnt + CHUNK - 1) // CHUNK
+        qb0 = row0 // CHUNK
+        shift = row0 - qb0 * CHUNK
+
+        def dma(b, slot):
+            return pltpu.make_async_copy(
+                hbm_ref.at[jnp.minimum(qb0 + b, nb - 1), :F],
+                buf_sc.at[slot], sem.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _start():
+            dma(0, 0).start()
+            dma(1, 1).start()
+
+        init = (
+            jnp.zeros((PX, CH1), jnp.float32),   # acc
+            jnp.ones((PX, 1), jnp.float32),      # T
+            jnp.zeros((PX, 1), jnp.float32),     # nc
+            jnp.zeros((PX, 1), jnp.float32),     # done
+        )
+
+        def body(k, carry):
+            acc, T, ncv, done = carry
+            s0 = jax.lax.rem(k, 3)
+            s1 = jax.lax.rem(k + 1, 3)
+            s2 = jax.lax.rem(k + 2, 3)
+
+            @pl.when(k + 2 <= n_chunks)
+            def _prefetch():
+                dma(k + 2, s2).start()
+
+            @pl.when(k == 0)
+            def _w0():
+                dma(0, 0).wait()
+            dma(k + 1, s1).wait()
+
+            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
+            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
+            n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
+
+            xs = buf[0:1, :]
+            ys = buf[1:2, :]
+            cxx = buf[2:3, :]
+            cxy = buf[3:4, :]
+            cyy = buf[4:5, :]
+            op = buf[5:6, :]
+
+            dx = xs - pixf_x
+            dy = ys - pixf_y
+            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
+            alpha_s = jnp.where(skipped, 0.0, alpha)
+            lf = jnp.log1p(-alpha_s)
+            excl = _dot3(lf, _tri_excl())
+            TPx = T * jnp.exp(excl)
+            TP = TPx * (1.0 - alpha_s)
+            not_done_px = done < 0.5
+            contributes = not_done_px & (~skipped) & (TP >= T_MIN)
+            crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
+                              keepdims=True)
+            done = jnp.maximum(done, crossed.astype(jnp.float32))
+            w = jnp.where(contributes, alpha * TPx, 0.0)
+            featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
+            acc = acc + _dot(w, featd, ((1,), (1,)))
+            T = T * jnp.exp(jnp.sum(jnp.where(contributes, lf, 0.0),
+                                    axis=-1, keepdims=True))
+            pos1 = k * CHUNK + lane + 1
+            nc_new = jnp.max(
+                jnp.where(contributes, pos1, 0).astype(jnp.float32),
+                axis=-1, keepdims=True)
+            ncv = jnp.maximum(ncv, nc_new)
+            return acc, T, ncv, done
+
+        acc, T, ncv, _ = jax.lax.fori_loop(0, n_chunks, body, init)
+        out_ref[0] = jnp.concatenate([acc, T, ncv], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # bounds [T+1]
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((1, PX, OUTC), lambda t, b: (t, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, PX, OUTC), jnp.float32)],
+        interpret=_interpret(),
+    )
+
+
 def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                          nb: int):
     """v5 backward: forward-order suffix reconstruction as
@@ -1066,13 +1186,11 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
     assert SCHUNK == CHUNK
     CH1 = ch + 1
     R, NB, NC = sorted_capacities(max_instances, n_tiles)
-    fwd_call = make_forward_sorted(n_tiles, grid_x, ch, NC, NB)
+    fwd_call = make_forward_tile(n_tiles, grid_x, ch, NB)
     bwd_call = make_backward_sorted(n_tiles, grid_x, ch, NC, NB)
 
     def run_forward(sb):
-        (out,) = fwd_call(sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid,
-                          sb.chunk_offset, sb.qblk, sb.shift,
-                          sb.blocks, sb.blocks)
+        (out,) = fwd_call(sb.tile_bounds, sb.blocks)
         empty = ~sb.tile_nonempty[:, None]
         acc = jnp.where(empty[..., None], 0.0, out[..., :CH1])
         t_fin = jnp.where(empty, 1.0, out[..., CH1])
