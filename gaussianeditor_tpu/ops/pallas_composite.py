@@ -830,6 +830,227 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     )
 
 
+def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
+                       nb: int):
+    """v7 backward: grid over TILES, mirroring make_forward_tile.
+
+    One grid step per tile streams its consecutive sorted payload
+    blocks through the same 3-slot input DMA ring as the v6 forward and
+    writes each chunk's gradient block to out[cstart[t] + k] through a
+    2-slot output DMA ring — replacing the chunk grid's ~556 ns/step
+    sequencing at NC=3777 and its per-chunk re-DMA of the tile's
+    cotangent block (gall is now an auto-pipelined per-TILE input).
+
+    Contract is identical to make_backward_sorted: every chunk of every
+    tile emits its rank row (dead lanes carry the R sentinel) so the
+    rank-keyed reduction sort sees each live rank exactly once; chunks
+    past the tile's last contributor (k*CHUNK >= max_nc[t]) skip the
+    gradient math but still emit the rank row. Output blocks past
+    cstart[T] (the dynamic total) are never written — the caller masks
+    them (data -> 0, key -> R sentinel) before the reduction sort.
+
+    Scalar prefetch: bounds [T+1], cstart [T+1] (exclusive cumsum of
+    per-tile chunk counts), max_nc [T] (per-tile last contributor).
+    Spec: backward.cu:399-557 (same math as make_backward_sorted)."""
+    CH1 = ch + 1
+    P = 7 + ch
+    F = _pad8(P + 1)
+    GF = _pad8(6 + CH1 + 1)
+    R_sent = float((nb - 1) * CHUNK)
+
+    def kernel(bounds_ref, cstart_ref, maxnc_ref, hbm_ref, gall_ref,
+               out_ref, buf_sc, osc_sc, logt_sc, s_sc, isem, osem):
+        t = pl.program_id(0)
+        pixf_x, pixf_y = _pix_coords(t % grid_x, t // grid_x)
+        row0 = bounds_ref[t]
+        cnt = bounds_ref[t + 1] - row0
+        n_chunks = (cnt + CHUNK - 1) // CHUNK
+        qb0 = row0 // CHUNK
+        shift = row0 - qb0 * CHUNK
+        c0 = cstart_ref[t]
+        maxnc_t = maxnc_ref[t]
+
+        def dma(b, slot):
+            return pltpu.make_async_copy(
+                hbm_ref.at[jnp.minimum(qb0 + b, nb - 1), :F],
+                buf_sc.at[slot], isem.at[slot])
+
+        def odma(j):
+            slot = jax.lax.rem(j, 2)
+            return pltpu.make_async_copy(
+                osc_sc.at[slot], out_ref.at[c0 + j], osem.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _start():
+            dma(0, 0).start()
+            dma(1, 1).start()
+            logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+            s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+
+        # per-tile cotangents: read ONCE per tile (the chunk grid
+        # re-DMA'd this block for every chunk)
+        gall = gall_ref[0]
+        g_acc = gall[:, :CH1]
+        gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
+        nc = gall[:, 2 * CH1 + 2][:, None]
+        stot = jnp.sum(gall[:, :CH1] * gall[:, CH1:2 * CH1], axis=-1,
+                       keepdims=True)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        pad = GF - (6 + CH1 + 1)
+
+        def body(k, carry):
+            s0 = jax.lax.rem(k, 3)
+            s1 = jax.lax.rem(k + 1, 3)
+            s2 = jax.lax.rem(k + 2, 3)
+            oslot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 2 <= n_chunks)
+            def _prefetch():
+                dma(k + 2, s2).start()
+
+            @pl.when(k == 0)
+            def _w0():
+                dma(0, 0).wait()
+            dma(k + 1, s1).wait()
+
+            # output slot k%2 was last used by chunk k-2: wait its copy
+            @pl.when(k >= 2)
+            def _wo():
+                odma(k - 2).wait()
+
+            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
+            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
+            n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
+            srk = jnp.where(lane < n_valid, buf[P:P + 1], R_sent)
+            active = k * CHUNK < maxnc_t
+
+            @pl.when(~active)
+            def _rank_only():
+                osc_sc[oslot] = jnp.concatenate(
+                    [jnp.zeros((6 + CH1, CHUNK), jnp.float32), srk,
+                     jnp.zeros((pad, CHUNK), jnp.float32)], axis=0)
+
+            @pl.when(active)
+            def _compute():
+                xs = buf[0:1, :]
+                ys = buf[1:2, :]
+                cxx = buf[2:3, :]
+                cxy = buf[3:4, :]
+                cyy = buf[4:5, :]
+                op = buf[5:6, :]
+                featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]],
+                                        axis=0)
+
+                dx = xs - pixf_x
+                dy = ys - pixf_y
+                power = (-0.5 * (cxx * dx * dx + cyy * dy * dy)
+                         - cxy * dx * dy)
+                g_exp = jnp.exp(power)
+                alpha_raw = op * g_exp
+                alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+
+                pos = (k * CHUNK + lane).astype(jnp.float32)
+                skipped = ((power > 0.0) | (alpha < ALPHA_MIN)
+                           | (lane >= n_valid))
+                m = (~skipped) & (pos < nc)
+
+                alpha_m = jnp.where(m, alpha, 0.0)
+                lf = jnp.log1p(-alpha_m)
+                excl = _dot3(lf, _tri_excl())
+                total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
+                T_k = jnp.exp(logt_sc[:] + excl)
+
+                c_hat = _dot(g_acc, featd, ((1,), (0,)))
+                w = alpha_m * T_k
+                u = w * c_hat
+                Su = _dot3(u, _tri_incl())
+                u_total = Su[:, CHUNK - 1:CHUNK]
+                pre = stot - s_sc[:] + gT_term
+                sterm = pre - Su
+
+                f = 1.0 - alpha_m
+                amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
+                dpower = amc * (T_k * c_hat - sterm / f)
+
+                gfeat = _dot(g_acc, w, ((0,), (0,)))
+
+                pxv = pixf_x[:, 0]
+                pyv = pixf_y[:, 0]
+                P6 = jnp.stack(
+                    [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
+                     pxv * pyv],
+                    axis=0,
+                )
+                M = _dot(P6, dpower, ((1,), (0,)))
+                m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
+                sdx = xs * m0 - mx
+                sdy = ys * m0 - my
+                sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
+                sdyy = ys * ys * m0 - 2.0 * ys * my + myy
+                sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
+                dop_row = m0 * jnp.where(op > 0.0, 1.0 / op, 0.0)
+
+                rows = jnp.concatenate(
+                    [
+                        -(cxx * sdx + cxy * sdy),
+                        -(cyy * sdy + cxy * sdx),
+                        -0.5 * sdxx,
+                        -sdxy,
+                        -0.5 * sdyy,
+                        dop_row,
+                        gfeat,
+                        srk,
+                        jnp.zeros((pad, CHUNK), jnp.float32),
+                    ],
+                    axis=0,
+                )
+                osc_sc[oslot] = rows
+
+                logt_sc[:] = logt_sc[:] + total
+                s_sc[:] = s_sc[:] + u_total
+
+            odma(k).start()
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+        @pl.when(n_chunks >= 2)
+        def _drain2():
+            odma(n_chunks - 2).wait()
+
+        @pl.when(n_chunks >= 1)
+        def _drain1():
+            odma(n_chunks - 1).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # bounds [T+1], cstart [T+1], max_nc [T]
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, PX, 2 * CH1 + 3),
+                         lambda t, b, c, m: (t, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GF, CHUNK), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_chunks, GF, CHUNK),
+                                        jnp.float32)],
+        interpret=_interpret(),
+    )
+
+
 class PallasTiles(NamedTuple):
     color: jnp.ndarray     # [n_tiles, PX, ch]
     depth: jnp.ndarray     # [n_tiles, PX]
@@ -1187,7 +1408,7 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
     CH1 = ch + 1
     R, NB, NC = sorted_capacities(max_instances, n_tiles)
     fwd_call = make_forward_tile(n_tiles, grid_x, ch, NB)
-    bwd_call = make_backward_sorted(n_tiles, grid_x, ch, NC, NB)
+    bwd_call = make_backward_tile(n_tiles, grid_x, ch, NC, NB)
 
     def run_forward(sb):
         (out,) = fwd_call(sb.tile_bounds, sb.blocks)
@@ -1217,13 +1438,21 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
              t_fin[..., None], nc.astype(jnp.float32)[..., None]],
             axis=-1,
         )  # [n_tiles, PX, 2*CH1+3]
-        max_nc = jnp.max(nc, axis=-1)
-        active = ((sb.chunk_nvalid > 0)
-                  & (sb.chunk_offset < max_nc[sb.chunk_tile])).astype(jnp.int32)
-        (grows,) = bwd_call(
-            sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid, sb.chunk_offset,
-            sb.qblk, sb.shift, active, sb.blocks, sb.blocks, gall,
-        )
+        max_nc = jnp.max(nc, axis=-1).astype(jnp.int32)
+        # per-tile chunk starts for the v7 tile-grid backward's manual
+        # output DMA (exclusive cumsum of ceil(cnt / CHUNK))
+        cnt = sb.tile_bounds[1:] - sb.tile_bounds[:-1]
+        nck = (cnt + CHUNK - 1) // CHUNK
+        cstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(nck, dtype=jnp.int32)])
+        (grows,) = bwd_call(sb.tile_bounds, cstart, max_nc,
+                            sb.blocks, gall)
+        # blocks past the dynamic total were never written by the tile
+        # kernel: zero their data and send their keys past every live
+        # rank so the reduction sort drops them with the dead lanes
+        vblk = (jnp.arange(NC, dtype=jnp.int32) < cstart[-1])[:, None]
+        r_sent = jnp.float32((NB - 1) * CHUNK)
         # deterministic rank-space reduction: ONE stable sort keyed by
         # the rank row the kernel emitted (row `live`; dead lanes carry
         # the R sentinel and fall past every live rank) puts the
@@ -1235,9 +1464,11 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         # bench/profiler.py round 4); summation order per Gaussian is
         # identical (rank order), so gradients are bitwise-unchanged.
         live = 6 + CH1
-        cols = tuple(grows[:, i, :].reshape(-1)[: NC * CHUNK]
-                     for i in range(live))
-        skey = grows[:, live, :].reshape(-1)       # f32 rank | R sentinel
+        cols = tuple(
+            jnp.where(vblk, grows[:, i, :], 0.0).reshape(-1)[: NC * CHUNK]
+            for i in range(live))
+        skey = jnp.where(vblk, grows[:, live, :],
+                         r_sent).reshape(-1)       # f32 rank | R sentinel
         sorted_ = jax.lax.sort((skey,) + cols, num_keys=1, is_stable=True)
         scols = tuple(s[:R] for s in sorted_[1:])
         from gaussianeditor_tpu.ops.binning_sorted import (
