@@ -429,6 +429,35 @@ def run_kernels(scene, cam, mi, n_iter):
     timeit("bwd reduce: blocked scan only", scan_only, xb0)
     timeit("bwd reduce: rank sort + scan", reduce_only, grows0)
 
+    # --- v6/v7 tile-grid kernels (the production path since round 4) ---
+    fwd_tile = pc.make_forward_tile(ntiles, gx, ch, NB)
+    bwd_tile = pc.make_backward_tile(ntiles, gx, ch, NC, NB)
+
+    cnt_t = sb.tile_bounds[1:] - sb.tile_bounds[:-1]
+    nck = (cnt_t + 127) // 128
+    cstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nck, dtype=jnp.int32)])
+    maxnc_t = jnp.max(nc0, axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def fwd_tile_loop(blocks):
+        def body(i, acc):
+            blk = blocks.at[0, 0, 0].add(1e-9 * i)
+            (out,) = fwd_tile(sb.tile_bounds, blk)
+            return acc * 0.5 + jnp.sum(out[..., :CH1])
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    @jax.jit
+    def bwd_tile_loop(blocks, gall):
+        def body(i, acc):
+            blk = blocks.at[0, 0, 0].add(1e-9 * i)
+            (grows,) = bwd_tile(sb.tile_bounds, cstart, maxnc_t, blk, gall)
+            return acc * 0.5 + jnp.sum(grows[0])
+        return jax.lax.fori_loop(0, n_iter, body, 0.0)
+
+    timeit("fwd tile kernel (v6)", fwd_tile_loop, sb.blocks)
+    timeit("bwd tile kernel (v7)", bwd_tile_loop, sb.blocks, gall)
+
 
 def run_pre(scene, cam, mi, n_iter):
     """Bisect the preprocess stage: full SH path vs override-color (no

@@ -152,19 +152,26 @@ def _make_key_kernel(R: int, grid_x: int, depth_bits: int, P: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_assembly_kernel(R: int, NB: int, P: int):
+def _make_assembly_kernel(R: int, NB: int, P: int,
+                          bpg: int = KEY_BLK // CHUNK):
     """Sorted payload columns -> [NB, 16, CHUNK] block layout in ONE
     Pallas pass (the XLA pad/reshape/stack equivalent measured 1.27 ms
-    at R=393k — bench/profiler.py round 4). Grid steps cover KEY_BLK
-    sorted rows = KEY_BLK//CHUNK payload blocks each; steps past the
+    at R=393k — bench/profiler.py round 4). Grid steps cover
+    bpg*CHUNK sorted rows = bpg payload blocks each; steps past the
     data (the grid rounds NB up, incl. the trailing zero block that
     keeps qblk+1 valid) emit zeros, as do the FTAB-P padding rows.
-    Requires R % KEY_BLK == 0 (sorted_bin falls back to the XLA stack
-    otherwise). The [n_grid*BPG, ...] output is sliced to NB by the
-    caller (a view-to-copy slice of < one grid step's blocks)."""
-    assert R % KEY_BLK == 0
-    BPG = KEY_BLK // CHUNK            # payload blocks per grid step
-    n_data = R // KEY_BLK             # grid steps holding real data
+    Requires R % (bpg*CHUNK) == 0 (sorted_bin falls back to the XLA
+    stack otherwise). The [n_grid*BPG, ...] output is sliced to NB by
+    the caller (a view-to-copy slice of < one grid step's blocks).
+
+    bpg: DMA-issue overhead, not bandwidth, dominates this kernel —
+    at the default 16 blocks/step the backward's restack of 10 columns
+    paid ~1.8 ms at R=393k for ~40 MB of traffic (profiler --mode
+    kernels, round 4); callers whose column length can absorb the
+    rounding pass bpg=256 (32k rows/step, ~12 steps)."""
+    assert R % (bpg * CHUNK) == 0
+    BPG = bpg                         # payload blocks per grid step
+    n_data = R // (bpg * CHUNK)       # grid steps holding real data
     n_grid = -(-NB // BPG)            # total grid steps (>= n_data)
 
     def kernel(*refs):
@@ -316,7 +323,20 @@ def sorted_bin(
     # (~3.1 ms) + alignment-map scans + inversion sort (see
     # pallas_composite.make_pallas_compositor_sorted). ---
     bcols = scols + (srank.astype(jnp.float32),)
-    if R % KEY_BLK == 0:
+    # coarse 256-block grid steps: DMA-issue count, not bandwidth,
+    # dominates the restack (see _make_assembly_kernel). Columns are
+    # zero-padded to the step multiple; padded rows are dead (the
+    # kernels sentinel every lane >= n_valid, and the trailing zero
+    # block the old path appended is just the first tail-step block).
+    BSTEP_ASM = 256
+    nblk_asm = -(-(R // CHUNK) // BSTEP_ASM) * BSTEP_ASM
+    r_asm = nblk_asm * CHUNK
+    if R >= BSTEP_ASM * CHUNK:
+        acols = (bcols if r_asm == R else
+                 tuple(jnp.pad(c_, (0, r_asm - R)) for c_ in bcols))
+        blocks = _make_assembly_kernel(r_asm, NB, P + 1,
+                                       bpg=BSTEP_ASM)(*acols)[:NB]
+    elif R % KEY_BLK == 0:
         blocks = _make_assembly_kernel(R, NB, P + 1)(*bcols)[:NB]
     else:
         # XLA fallback for small/unaligned budgets (tests, probes)

@@ -76,6 +76,25 @@ def _pix_coords(tile_x, tile_y):
     return px.astype(jnp.float32), py.astype(jnp.float32)
 
 
+def _pix_coords_local():
+    """[PX, 1] float pixel coords WITHIN a tile (0..TILE-1).
+
+    The backward kernels compute their position moments in tile-LOCAL
+    coordinates: every emitted quantity is a centered sum
+    (sdx = sum_p dpower*(xs - px), sdxx = sum_p dpower*(xs - px)^2, ...)
+    and is therefore invariant to shifting both xs and px by the tile
+    origin. Shifting drops the moment magnitudes from O(image)^2 to
+    O(TILE)^2, which removes the catastrophic `xs*m0 - mx` cancellation
+    at image coordinate scale (measured ~1e-4 relative mean2d/conic
+    gradient error at 256^2 vs the dense oracle with global coords) and
+    shrinks the rank-reduction columns' RMS by the same factor. As a
+    bonus the [6, PX] moment matrix P6 becomes tile-independent, i.e. a
+    grid/loop invariant."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+    return ((p % TILE).astype(jnp.float32),
+            (p // TILE).astype(jnp.float32))
+
+
 def _tri_incl():
     """[CHUNK, CHUNK]: tri[j,k] = 1 if j <= k; x @ tri = inclusive prefix
     sum along lanes."""
@@ -267,7 +286,10 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
                grad_ref, logt_sc, s_sc, stot_sc):
         c = pl.program_id(0)
         tile = ct_ref[c]
-        pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
+        # tile-local coordinates: see _pix_coords_local
+        pixl_x, pixl_y = _pix_coords_local()
+        ox = (tile % grid_x * TILE).astype(jnp.float32)
+        oy = (tile // grid_x * TILE).astype(jnp.float32)
 
         @pl.when(cf_ref[c] == 1)
         def _init():
@@ -295,8 +317,8 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
         @pl.when(act_ref[c] == 1)
         def _compute():
             buf = inst_ref[0]
-            xs = buf[0:1, :]
-            ys = buf[1:2, :]
+            xs = buf[0:1, :] - ox                  # tile-local mean2d
+            ys = buf[1:2, :] - oy
             cxx = buf[2:3, :]
             cxy = buf[3:4, :]
             cyy = buf[4:5, :]
@@ -308,8 +330,8 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
             nc = gall[:, 2 * CH1 + 2][:, None]     # [PX, 1] (f32 positions)
 
-            dx = xs - pixf_x
-            dy = ys - pixf_y
+            dx = xs - pixl_x
+            dy = ys - pixl_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
             g_exp = jnp.exp(power)  # PD conic: no clamp (see forward)
             alpha_raw = op * g_exp
@@ -349,13 +371,13 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             # dy) is a lane-wise combination of the moment rows
             # M = [1, px, py, px^2, py^2, px*py]^T @ dpower — ONE [6,256]x
             # [256,128] MXU matmul instead of six cross-sublane reductions.
-            pxv = pixf_x[:, 0]
-            pyv = pixf_y[:, 0]
+            pxv = pixl_x[:, 0]
+            pyv = pixl_y[:, 0]
             P6 = jnp.stack(
                 [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
                  pxv * pyv],
                 axis=0,
-            )  # [6, PX]
+            )  # [6, PX] tile-local: a grid invariant
             M = _dot(P6, dpower, ((1,), (0,)))        # [6, CHUNK]
             m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
             # sum_p dpower * dx        = xs*m0 - mx   (dx = xs - px)
@@ -671,7 +693,10 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                b0_ref, b1_ref, gall_ref, grad_ref, logt_sc, s_sc, stot_sc):
         c = pl.program_id(0)
         tile = ct_ref[c]
-        pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
+        # tile-local coordinates: see _pix_coords_local
+        pixl_x, pixl_y = _pix_coords_local()
+        ox = (tile % grid_x * TILE).astype(jnp.float32)
+        oy = (tile // grid_x * TILE).astype(jnp.float32)
 
         @pl.when(cf_ref[c] == 1)
         def _init():
@@ -701,8 +726,8 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             x2 = jnp.concatenate(
                 [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
             buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
-            xs = buf[0:1, :]
-            ys = buf[1:2, :]
+            xs = buf[0:1, :] - ox                  # tile-local mean2d
+            ys = buf[1:2, :] - oy
             cxx = buf[2:3, :]
             cxy = buf[3:4, :]
             cyy = buf[4:5, :]
@@ -714,8 +739,8 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
             gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
             nc = gall[:, 2 * CH1 + 2][:, None]
 
-            dx = xs - pixf_x
-            dy = ys - pixf_y
+            dx = xs - pixl_x
+            dy = ys - pixl_y
             power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
             g_exp = jnp.exp(power)  # PD conic: no clamp (see forward)
             alpha_raw = op * g_exp
@@ -754,13 +779,13 @@ def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
             gfeat = _dot(g_acc, w, ((0,), (0,)))
 
-            pxv = pixf_x[:, 0]
-            pyv = pixf_y[:, 0]
+            pxv = pixl_x[:, 0]
+            pyv = pixl_y[:, 0]
             P6 = jnp.stack(
                 [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
                  pxv * pyv],
                 axis=0,
-            )
+            )  # tile-local: a grid invariant
             M = _dot(P6, dpower, ((1,), (0,)))
             m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
             sdx = xs * m0 - mx
@@ -861,7 +886,10 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     def kernel(bounds_ref, cstart_ref, maxnc_ref, hbm_ref, gall_ref,
                out_ref, buf_sc, osc_sc, logt_sc, s_sc, isem, osem):
         t = pl.program_id(0)
-        pixf_x, pixf_y = _pix_coords(t % grid_x, t // grid_x)
+        # tile-local coordinates: see _pix_coords_local
+        pixl_x, pixl_y = _pix_coords_local()
+        ox = (t % grid_x * TILE).astype(jnp.float32)
+        oy = (t // grid_x * TILE).astype(jnp.float32)
         row0 = bounds_ref[t]
         cnt = bounds_ref[t + 1] - row0
         n_chunks = (cnt + CHUNK - 1) // CHUNK
@@ -933,8 +961,8 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
             @pl.when(active)
             def _compute():
-                xs = buf[0:1, :]
-                ys = buf[1:2, :]
+                xs = buf[0:1, :] - ox              # tile-local mean2d
+                ys = buf[1:2, :] - oy
                 cxx = buf[2:3, :]
                 cxy = buf[3:4, :]
                 cyy = buf[4:5, :]
@@ -942,8 +970,8 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                 featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]],
                                         axis=0)
 
-                dx = xs - pixf_x
-                dy = ys - pixf_y
+                dx = xs - pixl_x
+                dy = ys - pixl_y
                 power = (-0.5 * (cxx * dx * dx + cyy * dy * dy)
                          - cxy * dx * dy)
                 g_exp = jnp.exp(power)
@@ -975,13 +1003,13 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
                 gfeat = _dot(g_acc, w, ((0,), (0,)))
 
-                pxv = pixf_x[:, 0]
-                pyv = pixf_y[:, 0]
+                pxv = pixl_x[:, 0]
+                pyv = pixl_y[:, 0]
                 P6 = jnp.stack(
                     [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
                      pxv * pyv],
                     axis=0,
-                )
+                )  # tile-local: a loop invariant
                 M = _dot(P6, dpower, ((1,), (0,)))
                 m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
                 sdx = xs * m0 - mx
@@ -1470,23 +1498,37 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         skey = jnp.where(vblk, grows[:, live, :],
                          r_sent).reshape(-1)       # f32 rank | R sentinel
         sorted_ = jax.lax.sort((skey,) + cols, num_keys=1, is_stable=True)
-        scols = tuple(s[:R] for s in sorted_[1:])
         from gaussianeditor_tpu.ops.binning_sorted import (
             KEY_BLK,
             _make_assembly_kernel,
         )
 
         nblk = R // CHUNK
-        if R % KEY_BLK == 0:
-            # restack sorted columns into [nblk, 16, CHUNK] with the
-            # Pallas assembly kernel (the XLA stack measured ~1.7 ms)
+        # restack at 256-block grid steps when the sorted arrays have
+        # enough slack rows to absorb the rounding (rows in [R, R_scan)
+        # are sentinel-keyed zero-data rows, so the scan's prefix is
+        # constant across them and the b_incl boundary differences are
+        # unchanged). DMA-issue overhead dominates the restack: 16
+        # blocks/step measured 1.8 ms vs ~40 MB of traffic.
+        BSTEP = 256
+        nblk_scan = -(-nblk // BSTEP) * BSTEP
+        if nblk_scan <= NC:
+            r_scan = nblk_scan * CHUNK
+            scols = tuple(s[:r_scan] for s in sorted_[1:])
+            xb = _make_assembly_kernel(r_scan, nblk_scan, live,
+                                       bpg=BSTEP)(*scols)
+            d = rank_space_reduce_blocked(xb, live, sb.b_incl, r_scan)
+        elif R % KEY_BLK == 0:
+            scols = tuple(s[:R] for s in sorted_[1:])
             xb = _make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
+            d = rank_space_reduce_blocked(xb, live, sb.b_incl, R)
         else:
+            scols = tuple(s[:R] for s in sorted_[1:])
             pad_cols = list(scols) + [jnp.zeros((R,), jnp.float32)] * (
                 16 - live)
             xb = jnp.swapaxes(
                 jnp.stack(pad_cols, axis=1).reshape(nblk, CHUNK, 16), 1, 2)
-        d = rank_space_reduce_blocked(xb, live, sb.b_incl, R)
+            d = rank_space_reduce_blocked(xb, live, sb.b_incl, R)
         return (d[:, 0:2], d[:, 2:5], d[:, 5], d[:, 6:6 + ch],
                 d[:, 6 + ch], None)
 

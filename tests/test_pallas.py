@@ -88,6 +88,36 @@ class TestPallasBackward:
                 gp, gs, atol=1e-3, rtol=1e-2, err_msg=f"grad mismatch: {name}"
             )
 
+    def test_gradients_match_scan_bstep_restack(self):
+        # 256^2 -> 256 tiles and max_instances 32768 (= BSTEP_ASM*CHUNK),
+        # so binning's restack AND the backward reduce both take the
+        # coarse 256-block-grid paths (binning_sorted BSTEP_ASM branch,
+        # pallas_composite.composite_bwd BSTEP branch); the small
+        # geometries above fall to the KEY_BLK/XLA fallbacks. Also the
+        # regression geometry for the tile-local moment coordinates:
+        # with global pixel coords the mean2d/conic gradients lose ~5
+        # bits to xs*m0 - mx cancellation at image scale (was 1e-4 rel
+        # error vs the dense oracle here; tolerances below caught it).
+        scene = random_scene(300, seed=4)
+        cam = make_camera(256, 256)
+        probe = jax.random.normal(jax.random.key(2), (256, 256, 3))
+
+        def loss(params, impl):
+            s = scene.replace(params=params)
+            out = render(s, cam, jnp.zeros(3), impl=impl,
+                         max_instances=32768, tile_cap=512, chunk=64)
+            return jnp.sum(out.color * probe) + 0.1 * jnp.sum(out.depth)
+
+        g_p = jax.jit(jax.grad(lambda p: loss(p, "pallas")))(scene.params)
+        g_s = jax.jit(jax.grad(lambda p: loss(p, "tiled")))(scene.params)
+        for name in ["xyz", "features_dc", "opacity_raw", "log_scales",
+                     "quats"]:
+            gp = np.asarray(getattr(g_p, name))
+            gs = np.asarray(getattr(g_s, name))
+            np.testing.assert_allclose(
+                gp, gs, atol=1e-3, rtol=1e-2, err_msg=f"grad mismatch: {name}"
+            )
+
     def test_gradient_finite_differences(self):
         # seed 7 is FD-convergent (no Gaussian near a discrete rect/cutoff
         # boundary); seed 9 has a genuine discontinuity where FD diverges
