@@ -158,13 +158,11 @@ def staged_sorted_bin(proc, grid_x, grid_y, max_instances, stop_at):
         return cs(skey, scols[0], srank)
 
     bcols = scols + (srank.astype(jnp.float32),)
-    if R % KEY_BLK == 0:
-        blocks = bs._make_assembly_kernel(R, NB, P + 1)(*bcols)[:NB]
-    else:
-        nbr = NB * CHUNK - R
-        blocks = jnp.stack(
-            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in bcols]
-            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P - 1), axis=1)
+    blocks = jnp.stack(
+        [jnp.pad(c_, (0, CHUNK)) for c_ in bcols]
+        + [jnp.zeros((R + CHUNK,), jnp.float32)] * (FTAB - P - 1),
+        axis=0,
+    )
     if stop_at == "blocks":
         return cs(blocks) + cs(stile)
 
@@ -172,32 +170,11 @@ def staged_sorted_bin(proc, grid_x, grid_y, max_instances, stop_at):
     bounds = jnp.searchsorted(
         stile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    cnt = bounds[1:] - bounds[:-1]
-    pad_cnt = bs._pad_chunk(cnt)
-    a_incl = jnp.cumsum(pad_cnt, dtype=jnp.int32)
-    a_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), a_incl])
-    cpos = jnp.arange(NC, dtype=jnp.int32) * CHUNK
-    owner = jnp.searchsorted(a_incl, cpos, side="right").astype(jnp.int32)
-    ownc = jnp.minimum(owner, T - 1)
-    offset_c = cpos - a_excl[ownc]
-    nvalid_c = jnp.clip(cnt[ownc] - offset_c, 0, CHUNK)
-    alive_c = (owner < T) & (nvalid_c > 0)
-    offset_c = jnp.where(alive_c, offset_c, 0)
-    nvalid_c = jnp.where(alive_c, nvalid_c, 0)
-    first_c = (alive_c & (offset_c == 0)).astype(jnp.int32)
-    tile_c = jnp.where(alive_c, ownc, 0)
-    row0 = jnp.where(alive_c, bounds[ownc] + offset_c, 0)
-    qblk = row0 // CHUNK
-    shift = row0 - qblk * CHUNK
-    if stop_at == "meta":
-        return cs(blocks) + cs(tile_c, first_c, nvalid_c, offset_c, qblk,
-                               shift)
 
-    return cs(blocks) + cs(tile_c, first_c, nvalid_c, offset_c, qblk,
-                           shift, b_incl)
+    return cs(blocks) + cs(bounds, b_incl)
 
 
-PIPE_STAGES = ["gsrc", "gather", "key", "sort", "blocks", "meta", "full"]
+PIPE_STAGES = ["gsrc", "gather", "key", "sort", "blocks", "full"]
 
 
 def run_pipeline(scene, cam, mi, n_iter):
@@ -230,9 +207,7 @@ def run_pipeline(scene, cam, mi, n_iter):
                 acc = acc + jnp.sum(x.astype(jnp.float32) % 1001.0)
             return acc
 
-        real = (cs(sb.blocks) + cs(sb.chunk_tile, sb.chunk_first,
-                                   sb.chunk_nvalid, sb.chunk_offset, sb.qblk,
-                                   sb.shift, sb.b_incl))
+        real = cs(sb.blocks) + cs(sb.tile_bounds, sb.b_incl)
         stag = staged_sorted_bin(proc, gx, gy, mi, "full")
         return real, stag
 
@@ -302,7 +277,7 @@ def run_pipeline(scene, cam, mi, n_iter):
 
 
 def run_kernels(scene, cam, mi, n_iter):
-    """Kernel + reduce costs on FIXED binning outputs."""
+    """Kernel + reduce costs on FIXED binning outputs (v8 layout)."""
     import jax
     import jax.numpy as jnp
 
@@ -314,8 +289,8 @@ def run_kernels(scene, cam, mi, n_iter):
     ntiles = gx * gy
     ch = 3
     CH1 = ch + 1
-    GF = pc._pad8(6 + CH1)
     R, NB, NC = bs.sorted_capacities(mi, ntiles)
+    NCP = NC * 128
     timeit = timer(n_iter)
 
     proc = preprocess(scene.params.xyz, scene.params.log_scales,
@@ -328,85 +303,89 @@ def run_kernels(scene, cam, mi, n_iter):
     sb = jax.block_until_ready(
         jax.jit(lambda p: bs.sorted_bin(p, gx, gy, mi))(proc))
 
-    fwd_call = pc.make_forward_sorted(ntiles, gx, ch, NC, NB)
-    bwd_call = pc.make_backward_sorted(ntiles, gx, ch, NC, NB)
+    fwd_tile = pc.make_forward_tile(ntiles, gx, ch)
+    bwd_tile = pc.make_backward_tile(ntiles, gx, ch, NC, R)
+
+    cnt_t = sb.tile_bounds[1:] - sb.tile_bounds[:-1]
+    nck = (cnt_t + 127) // 128
+    cstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nck, dtype=jnp.int32)])
 
     @jax.jit
-    def fwd_kernel(blocks):
+    def fwd_tile_loop(blocks):
         def body(i, acc):
-            blk = blocks.at[0, 0, 0].add(1e-9 * i)
-            (out,) = fwd_call(sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid,
-                              sb.chunk_offset, sb.qblk, sb.shift, blk, blk)
+            blk = blocks.at[0, 0].add(1e-9 * i)
+            (out,) = fwd_tile(sb.tile_bounds, blk)
             return acc * 0.5 + jnp.sum(out[..., :CH1])
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
-    (out0,) = jax.jit(lambda b: fwd_call(
-        sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid, sb.chunk_offset,
-        sb.qblk, sb.shift, b, b))(sb.blocks)
+    (out0,) = jax.jit(lambda b: fwd_tile(sb.tile_bounds, b))(sb.blocks)
     acc0 = out0[..., :CH1]
     t_fin0 = out0[..., CH1]
     nc0 = out0[..., CH1 + 1]
     gall = jnp.concatenate(
         [jnp.ones_like(acc0), acc0, jnp.ones_like(t_fin0)[..., None],
          t_fin0[..., None], nc0[..., None]], axis=-1)
-    max_nc = jnp.max(nc0, axis=-1)
-    active = ((sb.chunk_nvalid > 0)
-              & (sb.chunk_offset
-                 < max_nc[sb.chunk_tile].astype(jnp.int32))).astype(jnp.int32)
+    maxnc_t = jnp.max(nc0, axis=-1).astype(jnp.int32)
 
     @jax.jit
-    def bwd_kernel(blocks, gall):
+    def bwd_tile_loop(blocks, gall):
         def body(i, acc):
-            blk = blocks.at[0, 0, 0].add(1e-9 * i)
-            (grows,) = bwd_call(sb.chunk_tile, sb.chunk_first,
-                                sb.chunk_nvalid, sb.chunk_offset, sb.qblk,
-                                sb.shift, active, blk, blk, gall)
-            return acc * 0.5 + jnp.sum(grows[0])
+            blk = blocks.at[0, 0].add(1e-9 * i)
+            (grows,) = bwd_tile(sb.tile_bounds, cstart, maxnc_t, blk, gall)
+            return acc * 0.5 + jnp.sum(grows[0][::4096])
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
-    (grows0,) = jax.jit(lambda b, g: bwd_call(
-        sb.chunk_tile, sb.chunk_first, sb.chunk_nvalid, sb.chunk_offset,
-        sb.qblk, sb.shift, active, b, b, g))(sb.blocks, gall)
+    (grows0,) = jax.jit(lambda b, g: bwd_tile(
+        sb.tile_bounds, cstart, maxnc_t, b, g))(sb.blocks, gall)
 
     live = 6 + CH1
+    vlan = jnp.arange(NCP, dtype=jnp.int32) < cstart[-1] * 128
+
+    def extract(g2):
+        cols = tuple(jnp.where(vlan, g2[j], 0.0) for j in range(live))
+        skey = jnp.where(vlan, g2[live], jnp.float32(R))
+        return cols, skey
 
     @jax.jit
     def sort_only(grows):
         def body(i, acc):
-            g2 = grows.at[0, 0, 0].add(1e-9 * i)
-            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
-            skey = g2[:, live, :].reshape(-1)
+            g2 = grows.at[0, 0].add(1e-9 * i)
+            cols, skey = extract(g2)
             sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
                                    is_stable=True)
             return acc * 0.5 + jnp.sum(sorted_[1][::4096])
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
+    BSTEP = 256
+    nblk_scan = -(-(R // 128) // BSTEP) * BSTEP
+    r_scan = nblk_scan * 128
+    assert nblk_scan <= NC, "profile geometry can't absorb BSTEP rounding"
+
     @jax.jit
     def reduce_only(grows):
         def body(i, acc):
-            g2 = grows.at[0, 0, 0].add(1e-9 * i)
-            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
-            skey = g2[:, live, :].reshape(-1)
+            g2 = grows.at[0, 0].add(1e-9 * i)
+            cols, skey = extract(g2)
             sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
                                    is_stable=True)
-            scols = tuple(s[:R] for s in sorted_[1:])
-            nblk = R // 128
-            xb = bs._make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
-            d = pc.rank_space_reduce_blocked(xb, live, sb.b_incl, R)
+            scols = tuple(s[:r_scan] for s in sorted_[1:])
+            xb = bs._make_assembly_kernel(r_scan, nblk_scan, live,
+                                          bpg=BSTEP)(*scols)
+            d = pc.rank_space_reduce_blocked(xb, live, sb.b_incl, r_scan)
             return acc * 0.5 + jnp.sum(d)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
     @jax.jit
     def sort_asm(grows):
         def body(i, acc):
-            g2 = grows.at[0, 0, 0].add(1e-9 * i)
-            cols = tuple(g2[:, j, :].reshape(-1) for j in range(live))
-            skey = g2[:, live, :].reshape(-1)
+            g2 = grows.at[0, 0].add(1e-9 * i)
+            cols, skey = extract(g2)
             sorted_ = jax.lax.sort((skey,) + cols, num_keys=1,
                                    is_stable=True)
-            scols = tuple(s[:R] for s in sorted_[1:])
-            nblk = R // 128
-            xb = bs._make_assembly_kernel(R, nblk, live)(*scols)[:nblk]
+            scols = tuple(s[:r_scan] for s in sorted_[1:])
+            xb = bs._make_assembly_kernel(r_scan, nblk_scan, live,
+                                          bpg=BSTEP)(*scols)
             return acc * 0.5 + jnp.sum(xb[0])
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
@@ -414,49 +393,21 @@ def run_kernels(scene, cam, mi, n_iter):
     def scan_only(xb0):
         def body(i, acc):
             x2 = xb0.at[0, 0, 0].add(1e-9 * i)
-            d = pc.rank_space_reduce_blocked(x2, live, sb.b_incl, R)
+            d = pc.rank_space_reduce_blocked(x2, live, sb.b_incl, r_scan)
             return acc * 0.5 + jnp.sum(d)
         return jax.lax.fori_loop(0, n_iter, body, 0.0)
 
-    cols0 = tuple(grows0[:, j, :].reshape(-1)[:R] for j in range(live))
-    xb0 = jax.jit(lambda *c: bs._make_assembly_kernel(R, R // 128, live)(
-        *c)[:R // 128])(*cols0)
+    cols0, skey0 = extract(grows0)
+    xb0 = jax.jit(lambda *c: bs._make_assembly_kernel(
+        r_scan, nblk_scan, live, bpg=BSTEP)(
+        *(x[:r_scan] for x in c)))(*cols0)
 
-    timeit("fwd kernel (fixed binning)", fwd_kernel, sb.blocks)
-    timeit("bwd kernel (fixed binning)", bwd_kernel, sb.blocks, gall)
+    timeit("fwd tile kernel (v8)", fwd_tile_loop, sb.blocks)
+    timeit("bwd tile kernel (v8)", bwd_tile_loop, sb.blocks, gall)
     timeit("bwd reduce: rank sort only", sort_only, grows0)
     timeit("bwd reduce: sort + assembly", sort_asm, grows0)
     timeit("bwd reduce: blocked scan only", scan_only, xb0)
-    timeit("bwd reduce: rank sort + scan", reduce_only, grows0)
-
-    # --- v6/v7 tile-grid kernels (the production path since round 4) ---
-    fwd_tile = pc.make_forward_tile(ntiles, gx, ch, NB)
-    bwd_tile = pc.make_backward_tile(ntiles, gx, ch, NC, NB)
-
-    cnt_t = sb.tile_bounds[1:] - sb.tile_bounds[:-1]
-    nck = (cnt_t + 127) // 128
-    cstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nck, dtype=jnp.int32)])
-    maxnc_t = jnp.max(nc0, axis=-1).astype(jnp.int32)
-
-    @jax.jit
-    def fwd_tile_loop(blocks):
-        def body(i, acc):
-            blk = blocks.at[0, 0, 0].add(1e-9 * i)
-            (out,) = fwd_tile(sb.tile_bounds, blk)
-            return acc * 0.5 + jnp.sum(out[..., :CH1])
-        return jax.lax.fori_loop(0, n_iter, body, 0.0)
-
-    @jax.jit
-    def bwd_tile_loop(blocks, gall):
-        def body(i, acc):
-            blk = blocks.at[0, 0, 0].add(1e-9 * i)
-            (grows,) = bwd_tile(sb.tile_bounds, cstart, maxnc_t, blk, gall)
-            return acc * 0.5 + jnp.sum(grows[0])
-        return jax.lax.fori_loop(0, n_iter, body, 0.0)
-
-    timeit("fwd tile kernel (v6)", fwd_tile_loop, sb.blocks)
-    timeit("bwd tile kernel (v7)", bwd_tile_loop, sb.blocks, gall)
+    timeit("bwd reduce: sort + asm + scan", reduce_only, grows0)
 
 
 def run_pre(scene, cam, mi, n_iter):
@@ -676,171 +627,6 @@ def run_reduce(scene, cam, mi, n_iter):
            xb, b_hi)
 
 
-def run_ablate(scene, cam, mi, n_iter):
-    """Forward-kernel cost attribution via perf-only ablations (ablated
-    variants are numerically WRONG — timing only) + one real candidate:
-    the multiplicative roll-scan prefix replacing log1p + tri-matmul +
-    exp."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from gaussianeditor_tpu.ops import binning_sorted as bs
-    from gaussianeditor_tpu.ops import pallas_composite as pc
-    from gaussianeditor_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_MIN
-    from gaussianeditor_tpu.ops.preprocess import TILE, preprocess
-
-    gx = cam.width // TILE
-    ntiles = gx * gx
-    ch = 3
-    CH1 = ch + 1
-    F = pc._pad8(7 + ch + 1)
-    PX, CHUNK = pc.PX, pc.CHUNK
-    R, NB, NC = bs.sorted_capacities(mi, ntiles)
-    timeit = timer(n_iter)
-
-    proc = preprocess(scene.params.xyz, scene.params.log_scales,
-                      scene.params.quats, scene.get_opacity[:, 0],
-                      scene.get_features, cam, alive=scene.alive,
-                      active_sh_degree=scene.active_sh_degree,
-                      max_sh_degree=scene.max_sh_degree)
-    sb = jax.block_until_ready(
-        jax.jit(lambda p: bs.sorted_bin(p, gx, gx, mi))(
-            proc))
-
-    def make_fwd(variant):
-        def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref,
-                   b0_ref, b1_ref, out_ref, done_sc):
-            c = pl.program_id(0)
-            tile = ct_ref[c]
-            pixf_x, pixf_y = pc._pix_coords(tile % gx, tile // gx)
-
-            @pl.when(cf_ref[c] == 1)
-            def _init():
-                out_ref[0] = jnp.concatenate(
-                    [jnp.zeros((PX, CH1), jnp.float32),
-                     jnp.ones((PX, 1), jnp.float32),
-                     jnp.zeros((PX, 1), jnp.float32)], axis=1)
-                done_sc[:] = jnp.zeros((PX, 1), jnp.float32)
-
-            n_valid = nv_ref[c]
-            not_all_done = jnp.sum(done_sc[:]) < PX
-            if variant == "empty":
-                return
-
-            @pl.when((n_valid > 0) & not_all_done)
-            def _compute():
-                if variant == "noroll":
-                    buf = b0_ref[0, :7 + ch]
-                else:
-                    x2 = jnp.concatenate(
-                        [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
-                    buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
-                xs, ys = buf[0:1, :], buf[1:2, :]
-                cxx, cxy, cyy = buf[2:3, :], buf[3:4, :], buf[4:5, :]
-                op = buf[5:6, :]
-                T = out_ref[0, :, CH1][:, None]
-                done = done_sc[:]
-                dx = xs - pixf_x
-                dy = ys - pixf_y
-                power = (-0.5 * (cxx * dx * dx + cyy * dy * dy)
-                         - cxy * dx * dy)
-                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                skipped = ((power > 0.0) | (alpha < ALPHA_MIN)
-                           | (lane >= n_valid))
-                alpha_s = jnp.where(skipped, 0.0, alpha)
-                if variant == "multscan":
-                    # multiplicative roll-scan: INCLUSIVE product of
-                    # (1 - alpha_s), then TPx = T * P/(1-a) ... use
-                    # exclusive by one extra shift
-                    f = 1.0 - alpha_s
-                    p = f
-                    s = 1
-                    while s < CHUNK:
-                        sh = pltpu.roll(p, s, axis=1)
-                        sh = jnp.where(lane < s, 1.0, sh)
-                        p = p * sh
-                        s *= 2
-                    pex = pltpu.roll(p, 1, axis=1)
-                    pex = jnp.where(lane < 1, 1.0, pex)
-                    TPx = T * pex
-                    TP = TPx * f
-                elif variant == "noprefix":
-                    TPx = T
-                    TP = TPx * (1.0 - alpha_s)
-                else:
-                    lf = jnp.log1p(-alpha_s)
-                    excl = pc._dot3(lf, pc._tri_excl())
-                    TPx = T * jnp.exp(excl)
-                    TP = TPx * (1.0 - alpha_s)
-                not_done_px = done < 0.5
-                contributes = not_done_px & (~skipped) & (TP >= T_MIN)
-                crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
-                                  keepdims=True)
-                done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
-                w = jnp.where(contributes, alpha * TPx, 0.0)
-                featd = jnp.concatenate(
-                    [buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-                acc_new = out_ref[0, :, :CH1] + pc._dot(
-                    w, featd, ((1,), (1,)))
-                if variant == "multscan":
-                    T_new = jnp.min(jnp.where(contributes, TP, T), axis=-1,
-                                    keepdims=True)
-                else:
-                    lf = jnp.log1p(-alpha_s)
-                    T_new = T * jnp.exp(jnp.sum(
-                        jnp.where(contributes, lf, 0.0), axis=-1,
-                        keepdims=True))
-                pos1 = co_ref[c] + lane + 1
-                nc_new = jnp.max(
-                    jnp.where(contributes, pos1, 0).astype(jnp.float32),
-                    axis=-1, keepdims=True)
-                nc_upd = jnp.maximum(out_ref[0, :, CH1 + 1][:, None], nc_new)
-                out_ref[0] = jnp.concatenate([acc_new, T_new, nc_upd],
-                                             axis=1)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(NC,),
-            in_specs=[
-                pl.BlockSpec((1, F, CHUNK),
-                             lambda c, ct, cf, nv, co, qb, sf:
-                             (qb[c], 0, 0)),
-                pl.BlockSpec((1, F, CHUNK),
-                             lambda c, ct, cf, nv, co, qb, sf:
-                             (qb[c] + 1, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, PX, CH1 + 2),
-                             lambda c, ct, cf, nv, co, qb, sf:
-                             (ct[c], 0, 0)),
-            ],
-            scratch_shapes=[pltpu.VMEM((PX, 1), jnp.float32)],
-        )
-        return pl.pallas_call(
-            kernel, grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((ntiles, PX, CH1 + 2),
-                                            jnp.float32)],
-            interpret=jax.default_backend() == "cpu")
-
-    for variant in ["full", "empty", "noroll", "noprefix", "multscan"]:
-        call = make_fwd(variant)
-
-        @jax.jit
-        def run(blocks, call=call):
-            def body(i, acc):
-                blk = blocks.at[0, 0, 0].add(1e-9 * i)
-                (out,) = call(sb.chunk_tile, sb.chunk_first,
-                              sb.chunk_nvalid, sb.chunk_offset, sb.qblk,
-                              sb.shift, blk, blk)
-                return acc * 0.5 + jnp.sum(out[..., :CH1])
-            return jax.lax.fori_loop(0, n_iter, body, 0.0)
-
-        timeit(f"fwd kernel [{variant}]", run, sb.blocks)
-
-
 def run_micro(scene, cam, mi, n_iter):
     import jax
     import jax.numpy as jnp
@@ -900,7 +686,7 @@ def run_micro(scene, cam, mi, n_iter):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="pipeline",
-                    choices=["pipeline", "kernels", "micro", "pre", "reduce", "ablate"])
+                    choices=["pipeline", "kernels", "micro", "pre", "reduce"])
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--hw", type=int, default=512)
     ap.add_argument("--mi", type=int, default=393_216)
@@ -918,8 +704,6 @@ def main():
         run_pre(scene, cam, args.mi, args.iters)
     elif args.mode == "reduce":
         run_reduce(scene, cam, args.mi, args.iters)
-    elif args.mode == "ablate":
-        run_ablate(scene, cam, args.mi, args.iters)
     else:
         run_micro(scene, cam, args.mi, args.iters)
 

@@ -71,20 +71,25 @@ def _interpret() -> bool:
 
 
 class SortedBinning(NamedTuple):
-    """Sorted, block-transposed instance payload + chunk metadata.
+    """Sorted instance payload (payload-major) + per-tile tables.
 
-    R = instance budget (multiple of CHUNK); NB = R//CHUNK + 1 payload
-    blocks (one zero pad block so qblk+1 is always valid); NC = chunk
-    grid size (R//CHUNK + num_tiles + 1 upper bound on aligned chunks).
+    R = instance budget (multiple of CHUNK). The payload is
+    [FTAB, R + CHUNK] with LANES = sorted rows: rows 0..P-1 carry
+    mean2d xy | conic | opacity | depth | color.., row P the pre-sort
+    rank (f32-exact, R <= 2^24 guarded). Stacking the fat sort's flat
+    output columns this way is a pure concatenation of contiguous
+    buffers — the old block-major [NB, 16, CHUNK] layout needed a
+    Pallas restack whose sublane-strided writes cost ~1.2 ms at R=354k
+    (profiler --mode pipeline, round 4) — and the v6/v7 tile kernels
+    DMA each chunk's [FTAB, CHUNK] slice at its dynamic lane offset
+    directly, with no two-block read + roll. The trailing zero chunk
+    keeps the final partial-chunk DMA of the last tile in bounds.
+
+    NC (from sorted_capacities) still bounds the backward's gradient
+    chunk count: R//CHUNK + num_tiles + 1 aligned chunks.
     """
 
-    blocks: jnp.ndarray        # [NB, 16, CHUNK] f32 sorted payload
-    chunk_tile: jnp.ndarray    # [NC] i32 owning tile (dead -> 0)
-    chunk_first: jnp.ndarray   # [NC] i32 1 iff first chunk of its tile
-    chunk_nvalid: jnp.ndarray  # [NC] i32 live instances in chunk
-    chunk_offset: jnp.ndarray  # [NC] i32 instance offset within tile
-    qblk: jnp.ndarray          # [NC] i32 payload block of the chunk's row 0
-    shift: jnp.ndarray         # [NC] i32 lane offset within that block
+    blocks: jnp.ndarray        # [FTAB, R+CHUNK] f32 payload-major
     tile_nonempty: jnp.ndarray  # [num_tiles] bool
     tile_bounds: jnp.ndarray   # [num_tiles+1] i32 first sorted row per tile
     b_incl: jnp.ndarray        # [C] i32 inclusive cumsum of tiles_touched
@@ -323,78 +328,30 @@ def sorted_bin(
     # (~3.1 ms) + alignment-map scans + inversion sort (see
     # pallas_composite.make_pallas_compositor_sorted). ---
     bcols = scols + (srank.astype(jnp.float32),)
-    # coarse 256-block grid steps: DMA-issue count, not bandwidth,
-    # dominates the restack (see _make_assembly_kernel). Columns are
-    # zero-padded to the step multiple; padded rows are dead (the
-    # kernels sentinel every lane >= n_valid, and the trailing zero
-    # block the old path appended is just the first tail-step block).
-    BSTEP_ASM = 256
-    nblk_asm = -(-(R // CHUNK) // BSTEP_ASM) * BSTEP_ASM
-    r_asm = nblk_asm * CHUNK
-    if R >= BSTEP_ASM * CHUNK:
-        acols = (bcols if r_asm == R else
-                 tuple(jnp.pad(c_, (0, r_asm - R)) for c_ in bcols))
-        blocks = _make_assembly_kernel(r_asm, NB, P + 1,
-                                       bpg=BSTEP_ASM)(*acols)[:NB]
-    elif R % KEY_BLK == 0:
-        blocks = _make_assembly_kernel(R, NB, P + 1)(*bcols)[:NB]
-    else:
-        # XLA fallback for small/unaligned budgets (tests, probes)
-        nbr = NB * CHUNK - R
-        blocks = jnp.stack(
-            [jnp.pad(c_, (0, nbr)).reshape(NB, CHUNK) for c_ in bcols]
-            + [jnp.zeros((NB, CHUNK), jnp.float32)] * (FTAB - P - 1),
-            axis=1,
-        )
+    # payload-major [FTAB, R+CHUNK]: see SortedBinning docstring. The
+    # pad fuses into the stack's concatenation; FTAB-P-1 zero rows keep
+    # the kernels' [FTAB, CHUNK] DMA shape power-of-two.
+    blocks = jnp.stack(
+        [jnp.pad(c_, (0, CHUNK)) for c_ in bcols]
+        + [jnp.zeros((R + CHUNK,), jnp.float32)] * (FTAB - P - 1),
+        axis=0,
+    )
 
-    # --- chunk metadata from tiny per-tile tables ---
+    # --- per-tile tables ---
     # stile is SORTED (tile-major keys), so per-tile (first row, count)
-    # come from ONE [T+1]-query searchsorted; the per-chunk metadata is
-    # then O(NC log T) small-table work instead of the v4-era R-sized
-    # reverse-cummin + NC-over-R searchsorted (bench/prof_r19/r20.py).
+    # come from ONE [T+1]-query searchsorted.
     T = num_tiles
     bounds = jnp.searchsorted(
         stile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)                         # [T+1]; bounds[T] = #live
     cnt = bounds[1:] - bounds[:-1]              # [T] rows per tile
-    pad_cnt = _pad_chunk(cnt)
-    a_incl = jnp.cumsum(pad_cnt, dtype=jnp.int32)      # [T] span ends
-    a_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), a_incl])  # [T+1]
-
-    cpos = jnp.arange(NC, dtype=jnp.int32) * CHUNK
-    # owning tile: tile spans are contiguous [a_excl[t], a_excl[t+1])
-    owner = jnp.searchsorted(a_incl, cpos, side="right").astype(jnp.int32)
-    ownc = jnp.minimum(owner, T - 1)
-    offset_c = cpos - a_excl[ownc]
-    nvalid_c = jnp.clip(cnt[ownc] - offset_c, 0, CHUNK)
-    alive_c = (owner < T) & (nvalid_c > 0)
-    offset_c = jnp.where(alive_c, offset_c, 0)
-    nvalid_c = jnp.where(alive_c, nvalid_c, 0)
-    first_c = (alive_c & (offset_c == 0)).astype(jnp.int32)
-    tile_c = jnp.where(alive_c, ownc, 0)
-
     tile_nonempty = cnt > 0
-
-    # sorted row of the chunk's first lane
-    row0 = jnp.where(alive_c, bounds[ownc] + offset_c, 0)
-    qblk = row0 // CHUNK
-    shift = row0 - qblk * CHUNK
 
     return SortedBinning(
         blocks=blocks,
-        chunk_tile=tile_c.astype(jnp.int32),
-        chunk_first=first_c,
-        chunk_nvalid=nvalid_c.astype(jnp.int32),
-        chunk_offset=offset_c.astype(jnp.int32),
-        qblk=qblk.astype(jnp.int32),
-        shift=shift.astype(jnp.int32),
         tile_nonempty=tile_nonempty,
         tile_bounds=bounds,
         b_incl=b_incl,
         num_rendered=total,
         overflow=total > R,
     )
-
-
-def _pad_chunk(x: jnp.ndarray) -> jnp.ndarray:
-    return ((x + CHUNK - 1) // CHUNK) * CHUNK

@@ -440,135 +440,24 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
     )
 
 
-def make_forward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
-                        nb: int):
-    """v5 forward: like `make_forward`, but the per-chunk instance data
-    is read straight from the 128-blocked sorted payload (two pipelined
-    block inputs at qblk / qblk+1, realigned with one dynamic lane roll)
-    — no aligned instance matrix exists in HBM."""
-    CH1 = ch + 1
-    F = _pad8(7 + ch)
-
-    def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref,
-               b0_ref, b1_ref, out_ref, done_sc):
-        c = pl.program_id(0)
-        tile = ct_ref[c]
-        pixf_x, pixf_y = _pix_coords(tile % grid_x, tile // grid_x)
-
-        @pl.when(cf_ref[c] == 1)
-        def _init():
-            out_ref[0] = jnp.concatenate(
-                [jnp.zeros((PX, CH1), jnp.float32),
-                 jnp.ones((PX, 1), jnp.float32),
-                 jnp.zeros((PX, 1), jnp.float32)],
-                axis=1,
-            )
-            done_sc[:] = jnp.zeros((PX, 1), jnp.float32)
-
-        n_valid = nv_ref[c]
-        not_all_done = jnp.sum(done_sc[:]) < PX
-
-        @pl.when((n_valid > 0) & not_all_done)
-        def _compute():
-            # roll only the 7+ch live payload rows (the tail rows of the
-            # 16-row block are zero padding)
-            x2 = jnp.concatenate(
-                [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
-            buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
-            xs = buf[0:1, :]
-            ys = buf[1:2, :]
-            cxx = buf[2:3, :]
-            cxy = buf[3:4, :]
-            cyy = buf[4:5, :]
-            op = buf[5:6, :]
-
-            T = out_ref[0, :, CH1][:, None]
-            done = done_sc[:]
-
-            dx = xs - pixf_x
-            dy = ys - pixf_y
-            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            # the conic is PD by construction (+0.3 LPF diagonal,
-            # preprocess.py:216-218), so power <= 0 up to rounding and the
-            # exp clamp is unneeded; padding lanes have conic = op = 0 ->
-            # alpha = 0, culled by ALPHA_MIN
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
-
-            # masking alpha (not lf) lets log1p(0) = 0 absorb the select
-            alpha_s = jnp.where(skipped, 0.0, alpha)
-            lf = jnp.log1p(-alpha_s)
-            # EXCLUSIVE prefix: TPx = T before the instance; the forward
-            # weight is then alpha * TPx directly (no divide), and T after
-            # the instance is TPx * (1 - alpha_s)
-            excl = _dot3(lf, _tri_excl())
-            TPx = T * jnp.exp(excl)
-            TP = TPx * (1.0 - alpha_s)
-            not_done_px = done < 0.5
-            contributes = not_done_px & (~skipped) & (TP >= T_MIN)
-            crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
-                              keepdims=True)
-            done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
-
-            w = jnp.where(contributes, alpha * TPx, 0.0)
-            featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-            acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
-
-            T_new = T * jnp.exp(
-                jnp.sum(jnp.where(contributes, lf, 0.0), axis=-1,
-                        keepdims=True)
-            )
-            pos1 = co_ref[c] + lane + 1
-            nc_new = jnp.max(
-                jnp.where(contributes, pos1, 0).astype(jnp.float32), axis=-1,
-                keepdims=True,
-            )
-            nc_upd = jnp.maximum(out_ref[0, :, CH1 + 1][:, None], nc_new)
-            out_ref[0] = jnp.concatenate([acc_new, T_new, nc_upd], axis=1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # tile, first, n_valid, offset, qblk, shift
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, F, CHUNK),
-                         lambda c, ct, cf, nv, co, qb, sf: (qb[c], 0, 0)),
-            pl.BlockSpec((1, F, CHUNK),
-                         lambda c, ct, cf, nv, co, qb, sf: (qb[c] + 1, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, PX, CH1 + 2),
-                         lambda c, ct, cf, nv, co, qb, sf: (ct[c], 0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((PX, 1), jnp.float32)],
-    )
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, PX, CH1 + 2), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )
-
-
-def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
-    """v6 forward: grid over TILES (not chunks), looping that tile's
+def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
+    """v6/v8 forward: grid over TILES (not chunks), looping that tile's
     chunks in-kernel with hand-rolled double-buffered DMA from the
-    128-blocked sorted payload.
+    payload-major [FTAB, R+CHUNK] sorted payload.
 
-    Why: the chunk-grid kernel paid ~556 ns of per-grid-step sequencing
-    overhead — 2.1 ms of a 5.4 ms kernel at NC=3777 (profiler --mode
-    ablate, round 4). A 16x16-tile 512^2 frame has only 1024 tiles, and
-    a tile's chunks are CONSECUTIVE payload blocks at one constant lane
-    shift (row0 % CHUNK is per-tile), so one grid step per tile streams
-    blocks qb0+k with a 3-slot ring buffer and carries (acc, T, nc,
-    done) in a fori_loop instead of revisiting output blocks.
+    Why tiles: the chunk-grid kernel paid ~556 ns of per-grid-step
+    sequencing overhead — 2.1 ms of a 5.4 ms kernel at NC=3777
+    (profiler --mode ablate, round 4). A 16x16-tile 512^2 frame has
+    only 1024 tiles; one grid step per tile carries (acc, T, nc, done)
+    in a fori_loop instead of revisiting output blocks. Why
+    payload-major: chunk k's instances are rows [row0 + k*CHUNK, +128)
+    — ONE [F, CHUNK] DMA at a dynamic lane offset, replacing the
+    block-aligned two-block read + pltpu.roll of the v6 layout (and
+    the Pallas restack that produced it — see binning_sorted).
 
     Scalar prefetch: bounds [T+1] (first sorted row per tile, from
-    binning's searchsorted). Same math as make_forward_sorted."""
+    binning's searchsorted). Same math as the v5 chunk-grid kernel
+    (spec: forward.cu:261-379)."""
     CH1 = ch + 1
     F = _pad8(7 + ch)
     OUTC = CH1 + 2
@@ -579,17 +468,18 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
         row0 = bounds_ref[t]
         cnt = bounds_ref[t + 1] - row0
         n_chunks = (cnt + CHUNK - 1) // CHUNK
-        qb0 = row0 // CHUNK
-        shift = row0 - qb0 * CHUNK
 
-        def dma(b, slot):
+        def dma(k, slot):
             return pltpu.make_async_copy(
-                hbm_ref.at[jnp.minimum(qb0 + b, nb - 1), :F],
+                hbm_ref.at[:F, pl.ds(row0 + k * CHUNK, CHUNK)],
                 buf_sc.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _start():
             dma(0, 0).start()
+
+        @pl.when(n_chunks > 1)
+        def _start2():
             dma(1, 1).start()
 
         init = (
@@ -602,20 +492,15 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
         def body(k, carry):
             acc, T, ncv, done = carry
             s0 = jax.lax.rem(k, 3)
-            s1 = jax.lax.rem(k + 1, 3)
             s2 = jax.lax.rem(k + 2, 3)
 
-            @pl.when(k + 2 <= n_chunks)
+            @pl.when(k + 2 < n_chunks)
             def _prefetch():
                 dma(k + 2, s2).start()
 
-            @pl.when(k == 0)
-            def _w0():
-                dma(0, 0).wait()
-            dma(k + 1, s1).wait()
+            dma(k, s0).wait()
 
-            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
-            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
+            buf = buf_sc[s0]
             n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
 
             xs = buf[0:1, :]
@@ -659,7 +544,7 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # bounds [T+1]
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((1, PX, OUTC), lambda t, b: (t, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
@@ -674,214 +559,37 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int, nb: int):
     )
 
 
-def make_backward_sorted(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
-                         nb: int):
-    """v5 backward: forward-order suffix reconstruction as
-    `make_backward`, instance data read via the same two-block dynamic
-    roll as the v5 forward. Gradient rows still land in disjoint
-    chunk-blocked output blocks (deterministic, no atomics); row
-    `6+CH1` of each block carries the instance's PRE-SORT RANK (from
-    payload row P, dead lanes -> R) so the per-Gaussian reduction can
-    sort the rows straight into rank order (see composite_bwd)."""
-    CH1 = ch + 1
-    P = 7 + ch
-    F = _pad8(P + 1)              # payload rows + the rank row
-    GF = _pad8(6 + CH1 + 1)       # gradient rows + the rank row
-    R_sent = float((nb - 1) * CHUNK)  # rank sentinel for dead lanes
-
-    def kernel(ct_ref, cf_ref, nv_ref, co_ref, qb_ref, sf_ref, act_ref,
-               b0_ref, b1_ref, gall_ref, grad_ref, logt_sc, s_sc, stot_sc):
-        c = pl.program_id(0)
-        tile = ct_ref[c]
-        # tile-local coordinates: see _pix_coords_local
-        pixl_x, pixl_y = _pix_coords_local()
-        ox = (tile % grid_x * TILE).astype(jnp.float32)
-        oy = (tile // grid_x * TILE).astype(jnp.float32)
-
-        @pl.when(cf_ref[c] == 1)
-        def _init():
-            logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
-            s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
-            gall0 = gall_ref[0]
-            stot_sc[:] = jnp.sum(
-                gall0[:, :CH1] * gall0[:, CH1:2 * CH1], axis=-1, keepdims=True
-            )
-
-        n_valid = nv_ref[c]
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        # the rank row is emitted for EVERY chunk (incl. act == 0 ones
-        # whose gradient rows are analytically zero): each live rank must
-        # appear exactly once for the rank-keyed reduction sort, dead
-        # lanes carry the R sentinel and sort past every live rank
-        s2 = jnp.concatenate(
-            [b0_ref[0, P:P + 1], b1_ref[0, P:P + 1]], axis=1)
-        srow = pltpu.roll(s2, -sf_ref[c], axis=1)[:, :CHUNK]
-        srk = jnp.where(lane0 < n_valid, srow, R_sent)
-        grad_ref[0] = jnp.concatenate(
-            [jnp.zeros((6 + CH1, CHUNK), jnp.float32), srk,
-             jnp.zeros((GF - 6 - CH1 - 1, CHUNK), jnp.float32)], axis=0)
-
-        @pl.when(act_ref[c] == 1)
-        def _compute():
-            x2 = jnp.concatenate(
-                [b0_ref[0, :7 + ch], b1_ref[0, :7 + ch]], axis=1)
-            buf = pltpu.roll(x2, -sf_ref[c], axis=1)[:, :CHUNK]
-            xs = buf[0:1, :] - ox                  # tile-local mean2d
-            ys = buf[1:2, :] - oy
-            cxx = buf[2:3, :]
-            cxy = buf[3:4, :]
-            cyy = buf[4:5, :]
-            op = buf[5:6, :]
-            featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-
-            gall = gall_ref[0]
-            g_acc = gall[:, :CH1]
-            gT_term = (gall[:, 2 * CH1] * gall[:, 2 * CH1 + 1])[:, None]
-            nc = gall[:, 2 * CH1 + 2][:, None]
-
-            dx = xs - pixl_x
-            dy = ys - pixl_y
-            power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-            g_exp = jnp.exp(power)  # PD conic: no clamp (see forward)
-            alpha_raw = op * g_exp
-            alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            pos = (co_ref[c] + lane).astype(jnp.float32)
-            skipped = (power > 0.0) | (alpha < ALPHA_MIN) | (lane >= n_valid)
-            m = (~skipped) & (pos < nc)
-
-            # masking alpha (not lf) absorbs the select into log1p(0) = 0
-            # and replaces every later mf multiply
-            alpha_m = jnp.where(m, alpha, 0.0)
-            lf = jnp.log1p(-alpha_m)
-            # EXCLUSIVE-prefix tri: T_k needs exp(logT + excl) directly,
-            # and the all-lanes total is excl + lf at the last column
-            excl = _dot3(lf, _tri_excl())
-            total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
-            T_k = jnp.exp(logt_sc[:] + excl)
-
-            c_hat = _dot(g_acc, featd, ((1,), (0,)))
-            w = alpha_m * T_k
-            u = w * c_hat
-            Su = _dot3(u, _tri_incl())
-            u_total = Su[:, CHUNK - 1:CHUNK]
-            # S_at + gT_term folded into one [PX,1] precombine: one big
-            # subtract instead of three [PX,CHUNK] adds/subs
-            pre = stot_sc[:] - s_sc[:] + gT_term
-            sterm = pre - Su
-
-            f = 1.0 - alpha_m
-            # the alpha-cap gradient gate and the m mask fold into one
-            # masked alpha; dead lanes see f = 1 (no div hazard)
-            amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
-            dpower = amc * (T_k * c_hat - sterm / f)
-
-            gfeat = _dot(g_acc, w, ((0,), (0,)))
-
-            pxv = pixl_x[:, 0]
-            pyv = pixl_y[:, 0]
-            P6 = jnp.stack(
-                [jnp.ones_like(pxv), pxv, pyv, pxv * pxv, pyv * pyv,
-                 pxv * pyv],
-                axis=0,
-            )  # tile-local: a grid invariant
-            M = _dot(P6, dpower, ((1,), (0,)))
-            m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
-            sdx = xs * m0 - mx
-            sdy = ys * m0 - my
-            sdxx = xs * xs * m0 - 2.0 * xs * mx + mxx
-            sdyy = ys * ys * m0 - 2.0 * ys * my + myy
-            sdxy = xs * ys * m0 - xs * my - ys * mx + mxy
-            # opacity row via the EXACT identity sum_p dac*g_exp = m0/op:
-            # alpha = op*g_exp wherever the cap gate passes (dac = 0
-            # where it doesn't), so dpower = op*(dac*g_exp) lanewise —
-            # removes the dop array and its M=1 MXU dot. op > 0 on every
-            # lane with m (alpha >= ALPHA_MIN needs op >= ALPHA_MIN).
-            dop_row = m0 * jnp.where(op > 0.0, 1.0 / op, 0.0)
-
-            rows = jnp.concatenate(
-                [
-                    -(cxx * sdx + cxy * sdy),
-                    -(cyy * sdy + cxy * sdx),
-                    -0.5 * sdxx,
-                    -sdxy,
-                    -0.5 * sdyy,
-                    dop_row,
-                    gfeat,
-                    srk,
-                ],
-                axis=0,
-            )
-            pad = GF - (6 + CH1 + 1)
-            if pad:
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((pad, CHUNK), jnp.float32)], axis=0
-                )
-            grad_ref[0] = rows
-
-            logt_sc[:] = logt_sc[:] + total
-            s_sc[:] = s_sc[:] + u_total
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,  # tile, first, n_valid, offset, qblk, shift, active
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, F, CHUNK),
-                         lambda c, ct, cf, nv, co, qb, sf, a: (qb[c], 0, 0)),
-            pl.BlockSpec((1, F, CHUNK),
-                         lambda c, ct, cf, nv, co, qb, sf, a:
-                         (qb[c] + 1, 0, 0)),
-            pl.BlockSpec((1, PX, 2 * CH1 + 3),
-                         lambda c, ct, cf, nv, co, qb, sf, a: (ct[c], 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, GF, CHUNK),
-                         lambda c, ct, cf, nv, co, qb, sf, a: (c, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((PX, 1), jnp.float32),
-            pltpu.VMEM((PX, 1), jnp.float32),
-            pltpu.VMEM((PX, 1), jnp.float32),
-        ],
-    )
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_chunks, GF, CHUNK),
-                                        jnp.float32)],
-        interpret=_interpret(),
-    )
-
-
 def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
-                       nb: int):
-    """v7 backward: grid over TILES, mirroring make_forward_tile.
+                       r_budget: int):
+    """v7/v8 backward: grid over TILES, mirroring make_forward_tile.
 
-    One grid step per tile streams its consecutive sorted payload
-    blocks through the same 3-slot input DMA ring as the v6 forward and
-    writes each chunk's gradient block to out[cstart[t] + k] through a
-    2-slot output DMA ring — replacing the chunk grid's ~556 ns/step
-    sequencing at NC=3777 and its per-chunk re-DMA of the tile's
-    cotangent block (gall is now an auto-pipelined per-TILE input).
+    One grid step per tile streams its chunks' [F, CHUNK] payload
+    slices through a 3-slot input DMA ring (offset-addressed from the
+    payload-major [FTAB, R+CHUNK] layout, like the forward) and writes
+    each chunk's gradient block to out[:, (cstart[t]+k)*CHUNK :] —
+    payload-major [GF, NC*CHUNK] — through a 2-slot output DMA ring.
+    This replaced the chunk grid's ~556 ns/step sequencing at NC=3777
+    and its per-chunk re-DMA of the tile's cotangent block (gall is an
+    auto-pipelined per-TILE input); the payload-major output makes the
+    reduction's column extraction a free view instead of a strided
+    relayout.
 
-    Contract is identical to make_backward_sorted: every chunk of every
-    tile emits its rank row (dead lanes carry the R sentinel) so the
-    rank-keyed reduction sort sees each live rank exactly once; chunks
-    past the tile's last contributor (k*CHUNK >= max_nc[t]) skip the
-    gradient math but still emit the rank row. Output blocks past
-    cstart[T] (the dynamic total) are never written — the caller masks
-    them (data -> 0, key -> R sentinel) before the reduction sort.
+    Every chunk of every tile emits its rank row (dead lanes carry the
+    R sentinel) so the rank-keyed reduction sort sees each live rank
+    exactly once; chunks past the tile's last contributor
+    (k*CHUNK >= max_nc[t]) skip the gradient math but still emit the
+    rank row. Output lanes past cstart[T]*CHUNK (the dynamic total) are
+    never written — the caller masks them (data -> 0, key -> R
+    sentinel) before the reduction sort.
 
     Scalar prefetch: bounds [T+1], cstart [T+1] (exclusive cumsum of
     per-tile chunk counts), max_nc [T] (per-tile last contributor).
-    Spec: backward.cu:399-557 (same math as make_backward_sorted)."""
+    Spec: backward.cu:399-557."""
     CH1 = ch + 1
     P = 7 + ch
     F = _pad8(P + 1)
     GF = _pad8(6 + CH1 + 1)
-    R_sent = float((nb - 1) * CHUNK)
+    R_sent = float(r_budget)
 
     def kernel(bounds_ref, cstart_ref, maxnc_ref, hbm_ref, gall_ref,
                out_ref, buf_sc, osc_sc, logt_sc, s_sc, isem, osem):
@@ -893,27 +601,30 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
         row0 = bounds_ref[t]
         cnt = bounds_ref[t + 1] - row0
         n_chunks = (cnt + CHUNK - 1) // CHUNK
-        qb0 = row0 // CHUNK
-        shift = row0 - qb0 * CHUNK
         c0 = cstart_ref[t]
         maxnc_t = maxnc_ref[t]
 
-        def dma(b, slot):
+        def dma(k, slot):
             return pltpu.make_async_copy(
-                hbm_ref.at[jnp.minimum(qb0 + b, nb - 1), :F],
+                hbm_ref.at[:F, pl.ds(row0 + k * CHUNK, CHUNK)],
                 buf_sc.at[slot], isem.at[slot])
 
         def odma(j):
             slot = jax.lax.rem(j, 2)
             return pltpu.make_async_copy(
-                osc_sc.at[slot], out_ref.at[c0 + j], osem.at[slot])
+                osc_sc.at[slot],
+                out_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+                osem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _start():
             dma(0, 0).start()
-            dma(1, 1).start()
             logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
             s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
+
+        @pl.when(n_chunks > 1)
+        def _start2():
+            dma(1, 1).start()
 
         # per-tile cotangents: read ONCE per tile (the chunk grid
         # re-DMA'd this block for every chunk)
@@ -929,26 +640,21 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
         def body(k, carry):
             s0 = jax.lax.rem(k, 3)
-            s1 = jax.lax.rem(k + 1, 3)
             s2 = jax.lax.rem(k + 2, 3)
             oslot = jax.lax.rem(k, 2)
 
-            @pl.when(k + 2 <= n_chunks)
+            @pl.when(k + 2 < n_chunks)
             def _prefetch():
                 dma(k + 2, s2).start()
 
-            @pl.when(k == 0)
-            def _w0():
-                dma(0, 0).wait()
-            dma(k + 1, s1).wait()
+            dma(k, s0).wait()
 
             # output slot k%2 was last used by chunk k-2: wait its copy
             @pl.when(k >= 2)
             def _wo():
                 odma(k - 2).wait()
 
-            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
-            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
+            buf = buf_sc[s0]
             n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
             srk = jnp.where(lane < n_valid, buf[P:P + 1], R_sent)
             active = k * CHUNK < maxnc_t
@@ -1055,11 +761,11 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
         num_scalar_prefetch=3,  # bounds [T+1], cstart [T+1], max_nc [T]
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, PX, 2 * CH1 + 3),
                          lambda t, b, c, m: (t, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
             pltpu.VMEM((2, GF, CHUNK), jnp.float32),
@@ -1073,7 +779,7 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_chunks, GF, CHUNK),
+        out_shape=[jax.ShapeDtypeStruct((GF, num_chunks * CHUNK),
                                         jnp.float32)],
         interpret=_interpret(),
     )
@@ -1413,11 +1119,11 @@ def make_pallas_compositor_dense(n_tiles: int, grid_x: int, ch: int,
 @functools.lru_cache(maxsize=None)
 def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
                                   capacity: int, max_instances: int):
-    """v5 compositor over the fat-sort binning (ops/binning_sorted.py).
+    """v5/v8 compositor over the fat-sort binning (ops/binning_sorted.py).
 
-    There is no pack stage at all: the kernels read the 128-blocked
-    sorted payload directly (two pipelined block inputs + one dynamic
-    lane roll per chunk). The binning's payload values are stop-grad
+    There is no pack stage at all: the tile-grid kernels DMA each
+    chunk's [F, CHUNK] slice of the payload-major sorted payload at its
+    dynamic lane offset. The binning's payload values are stop-grad
     duplicates of the five differentiable arguments; gradients are
     produced analytically by the backward's rank-space cumsum-difference
     at the b_incl boundaries, so the sort never enters autodiff and the
@@ -1435,8 +1141,8 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
     assert SCHUNK == CHUNK
     CH1 = ch + 1
     R, NB, NC = sorted_capacities(max_instances, n_tiles)
-    fwd_call = make_forward_tile(n_tiles, grid_x, ch, NB)
-    bwd_call = make_backward_tile(n_tiles, grid_x, ch, NC, NB)
+    fwd_call = make_forward_tile(n_tiles, grid_x, ch)
+    bwd_call = make_backward_tile(n_tiles, grid_x, ch, NC, R)
 
     def run_forward(sb):
         (out,) = fwd_call(sb.tile_bounds, sb.blocks)
@@ -1475,12 +1181,12 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(nck, dtype=jnp.int32)])
         (grows,) = bwd_call(sb.tile_bounds, cstart, max_nc,
-                            sb.blocks, gall)
-        # blocks past the dynamic total were never written by the tile
+                            sb.blocks, gall)       # [GF, NC*CHUNK]
+        # lanes past the dynamic total were never written by the tile
         # kernel: zero their data and send their keys past every live
         # rank so the reduction sort drops them with the dead lanes
-        vblk = (jnp.arange(NC, dtype=jnp.int32) < cstart[-1])[:, None]
-        r_sent = jnp.float32((NB - 1) * CHUNK)
+        vlan = jnp.arange(NC * CHUNK, dtype=jnp.int32) < cstart[-1] * CHUNK
+        r_sent = jnp.float32(R)
         # deterministic rank-space reduction: ONE stable sort keyed by
         # the rank row the kernel emitted (row `live`; dead lanes carry
         # the R sentinel and fall past every live rank) puts the
@@ -1491,12 +1197,11 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         # inversion sort (gather alone measured 3.1 ms at R=352k,
         # bench/profiler.py round 4); summation order per Gaussian is
         # identical (rank order), so gradients are bitwise-unchanged.
+        # Column extraction is a FREE view off the payload-major output.
         live = 6 + CH1
-        cols = tuple(
-            jnp.where(vblk, grows[:, i, :], 0.0).reshape(-1)[: NC * CHUNK]
-            for i in range(live))
-        skey = jnp.where(vblk, grows[:, live, :],
-                         r_sent).reshape(-1)       # f32 rank | R sentinel
+        cols = tuple(jnp.where(vlan, grows[i], 0.0) for i in range(live))
+        skey = jnp.where(vlan, grows[live],
+                         r_sent)                   # f32 rank | R sentinel
         sorted_ = jax.lax.sort((skey,) + cols, num_keys=1, is_stable=True)
         from gaussianeditor_tpu.ops.binning_sorted import (
             KEY_BLK,
