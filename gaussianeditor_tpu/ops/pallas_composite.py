@@ -449,11 +449,14 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
     sequencing overhead — 2.1 ms of a 5.4 ms kernel at NC=3777
     (profiler --mode ablate, round 4). A 16x16-tile 512^2 frame has
     only 1024 tiles; one grid step per tile carries (acc, T, nc, done)
-    in a fori_loop instead of revisiting output blocks. Why
-    payload-major: chunk k's instances are rows [row0 + k*CHUNK, +128)
-    — ONE [F, CHUNK] DMA at a dynamic lane offset, replacing the
-    block-aligned two-block read + pltpu.roll of the v6 layout (and
-    the Pallas restack that produced it — see binning_sorted).
+    in a fori_loop instead of revisiting output blocks. Chunk k's
+    instances are the payload-major rows [row0 + k*CHUNK, +128); since
+    Mosaic requires lane-dim slice offsets to be 128-aligned even on
+    HBM refs (row0 is an arbitrary tile bound), the loop streams the
+    two ALIGNED 128-blocks covering the window through a 3-slot ring
+    (one new block DMA per chunk) and extracts the window with one
+    dynamic pltpu.roll — the binning's Pallas restack to a block-major
+    layout (~1.2 ms at R=354k) stays deleted.
 
     Scalar prefetch: bounds [T+1] (first sorted row per tile, from
     binning's searchsorted). Same math as the v5 chunk-grid kernel
@@ -468,18 +471,21 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
         row0 = bounds_ref[t]
         cnt = bounds_ref[t + 1] - row0
         n_chunks = (cnt + CHUNK - 1) // CHUNK
+        q0 = row0 // CHUNK
+        shift = row0 - q0 * CHUNK
 
-        def dma(k, slot):
+        def dma(b, slot):
+            # aligned block q0+b; the payload's trailing zero chunk
+            # keeps block q0+n_chunks in bounds (binning_sorted pads
+            # blocks to R+CHUNK lanes)
+            off = pl.multiple_of((q0 + b) * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                hbm_ref.at[:F, pl.ds(row0 + k * CHUNK, CHUNK)],
+                hbm_ref.at[:F, pl.ds(off, CHUNK)],
                 buf_sc.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _start():
             dma(0, 0).start()
-
-        @pl.when(n_chunks > 1)
-        def _start2():
             dma(1, 1).start()
 
         init = (
@@ -492,15 +498,21 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
         def body(k, carry):
             acc, T, ncv, done = carry
             s0 = jax.lax.rem(k, 3)
+            s1 = jax.lax.rem(k + 1, 3)
             s2 = jax.lax.rem(k + 2, 3)
 
-            @pl.when(k + 2 < n_chunks)
+            @pl.when(k + 2 <= n_chunks)
             def _prefetch():
                 dma(k + 2, s2).start()
 
-            dma(k, s0).wait()
+            @pl.when(k == 0)
+            def _w0():
+                dma(0, 0).wait()
+            dma(k + 1, s1).wait()
 
-            buf = buf_sc[s0]
+            # chunk k = lanes [shift, shift+CHUNK) of blocks (k, k+1)
+            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
+            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
             n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
 
             xs = buf[0:1, :]
@@ -544,7 +556,10 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # bounds [T+1]
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # pin to HBM: ANY lets Mosaic place the ~23 MB payload in VMEM,
+        # where the unaligned dynamic lane-offset slice (row0 is an
+        # arbitrary tile bound) fails the 128-divisibility proof
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[pl.BlockSpec((1, PX, OUTC), lambda t, b: (t, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
@@ -603,28 +618,30 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
         n_chunks = (cnt + CHUNK - 1) // CHUNK
         c0 = cstart_ref[t]
         maxnc_t = maxnc_ref[t]
+        q0 = row0 // CHUNK
+        shift = row0 - q0 * CHUNK
 
-        def dma(k, slot):
+        def dma(b, slot):
+            # aligned-block ring + roll: see make_forward_tile
+            off = pl.multiple_of((q0 + b) * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                hbm_ref.at[:F, pl.ds(row0 + k * CHUNK, CHUNK)],
+                hbm_ref.at[:F, pl.ds(off, CHUNK)],
                 buf_sc.at[slot], isem.at[slot])
 
         def odma(j):
             slot = jax.lax.rem(j, 2)
+            ooff = pl.multiple_of((c0 + j) * CHUNK, CHUNK)
             return pltpu.make_async_copy(
                 osc_sc.at[slot],
-                out_ref.at[:, pl.ds((c0 + j) * CHUNK, CHUNK)],
+                out_ref.at[:, pl.ds(ooff, CHUNK)],
                 osem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _start():
             dma(0, 0).start()
+            dma(1, 1).start()
             logt_sc[:] = jnp.zeros((PX, 1), jnp.float32)
             s_sc[:] = jnp.zeros((PX, 1), jnp.float32)
-
-        @pl.when(n_chunks > 1)
-        def _start2():
-            dma(1, 1).start()
 
         # per-tile cotangents: read ONCE per tile (the chunk grid
         # re-DMA'd this block for every chunk)
@@ -640,21 +657,27 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
 
         def body(k, carry):
             s0 = jax.lax.rem(k, 3)
+            s1 = jax.lax.rem(k + 1, 3)
             s2 = jax.lax.rem(k + 2, 3)
             oslot = jax.lax.rem(k, 2)
 
-            @pl.when(k + 2 < n_chunks)
+            @pl.when(k + 2 <= n_chunks)
             def _prefetch():
                 dma(k + 2, s2).start()
 
-            dma(k, s0).wait()
+            @pl.when(k == 0)
+            def _w0():
+                dma(0, 0).wait()
+            dma(k + 1, s1).wait()
 
             # output slot k%2 was last used by chunk k-2: wait its copy
             @pl.when(k >= 2)
             def _wo():
                 odma(k - 2).wait()
 
-            buf = buf_sc[s0]
+            # chunk k = lanes [shift, shift+CHUNK) of blocks (k, k+1)
+            x2 = jnp.concatenate([buf_sc[s0], buf_sc[s1]], axis=1)
+            buf = pltpu.roll(x2, -shift, axis=1)[:, :CHUNK]
             n_valid = jnp.minimum(cnt - k * CHUNK, CHUNK)
             srk = jnp.where(lane < n_valid, buf[P:P + 1], R_sent)
             active = k * CHUNK < maxnc_t
@@ -761,11 +784,12 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
         num_scalar_prefetch=3,  # bounds [T+1], cstart [T+1], max_nc [T]
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM-pinned: see make_forward_tile (unaligned dynamic slices)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, PX, 2 * CH1 + 3),
                          lambda t, b, c, m: (t, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         scratch_shapes=[
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
             pltpu.VMEM((2, GF, CHUNK), jnp.float32),
