@@ -151,6 +151,28 @@ def _dot3(a, b_exact):
     return d(a1) + d(a2) + d(a3)
 
 
+def _dot_high(a, b, dims):
+    """Generic-f32 matmul at Precision.HIGH accuracy (bf16x3) in THREE
+    single-pass bf16 MXU dots — Mosaic does not lower Precision.HIGH,
+    and HIGHEST's six passes measured +0.6 ms on the forward's
+    accumulate dot alone (bench/_scratch/ablate2, round 5). Splitting
+    both operands to (hi, lo) bf16 and dropping only the lo*lo term
+    leaves relative error O(2^-16) — ample for the color/gradient
+    accumulates (parity tolerances 1e-4+); transmittance prefix sums
+    keep the exact `_dot3` path."""
+    a1 = a.astype(jnp.bfloat16)
+    ar = (a - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    b1 = b.astype(jnp.bfloat16)
+    br = (b - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y,
+                                   dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return (d(a1, b1) + d(a1, br)) + d(ar, b1)
+
+
 class ChunkMeta(NamedTuple):
     """Per-chunk scalar metadata (prefetched into SMEM)."""
 
@@ -231,18 +253,21 @@ def make_forward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
             contributes = not_done_px & (~skipped) & (TP >= T_MIN)
-            crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
-                              keepdims=True)
+            # TP is non-increasing along lanes (f_s <= 1, flat over
+            # skipped lanes), so the last lane IS the minimum: one
+            # compare replaces the any-reduce, exactly
+            crossed = TP[:, CHUNK - 1:CHUNK] < T_MIN
             done_sc[:] = jnp.maximum(done, crossed.astype(jnp.float32))
 
             w = jnp.where(contributes, alpha * TPx, 0.0)
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-            acc_new = out_ref[0, :, :CH1] + _dot(w, featd, ((1,), (1,)))
+            acc_new = out_ref[0, :, :CH1] + _dot_high(w, featd, ((1,), (1,)))
 
-            T_new = T * jnp.exp(
-                jnp.sum(jnp.where(contributes, lf, 0.0), axis=-1,
-                        keepdims=True)
-            )
+            # T after the chunk = TP at the last contributing lane (all
+            # non-skipped lanes before a contributing one contribute
+            # too): a min-reduce replaces the sum+exp
+            T_new = jnp.min(jnp.where(contributes, TP, T), axis=-1,
+                            keepdims=True)
             pos1 = co_ref[c] + lane + 1
             nc_new = jnp.max(
                 jnp.where(contributes, pos1, 0).astype(jnp.float32), axis=-1,
@@ -351,7 +376,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             # T before instance k, reconstructed in log space going forward
             T_k = jnp.exp(logt_sc[:] + excl)
 
-            c_hat = _dot(g_acc, featd, ((1,), (0,)))  # [PX, CHUNK]
+            c_hat = _dot_high(g_acc, featd, ((1,), (0,)))  # [PX, CHUNK]
             w = alpha_m * T_k
             u = w * c_hat
             # suffix sum over instances AFTER k: S_total - inclusive prefix
@@ -364,7 +389,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
             amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
             dpower = amc * (T_k * c_hat - sterm / f)
 
-            gfeat = _dot(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
+            gfeat = _dot_high(g_acc, w, ((0,), (0,)))      # [CH1, CHUNK]
 
             # The six per-instance pixel reductions decompose through the
             # separability dx = xs(k) - px(p): every sum_p dpower * poly(dx,
@@ -378,7 +403,7 @@ def make_backward(n_tiles: int, grid_x: int, ch: int, num_chunks: int):
                  pxv * pyv],
                 axis=0,
             )  # [6, PX] tile-local: a grid invariant
-            M = _dot(P6, dpower, ((1,), (0,)))        # [6, CHUNK]
+            M = _dot_high(P6, dpower, ((1,), (0,)))        # [6, CHUNK]
             m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
             # sum_p dpower * dx        = xs*m0 - mx   (dx = xs - px)
             sdx = xs * m0 - mx
@@ -495,6 +520,11 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
             jnp.zeros((PX, 1), jnp.float32),     # done
         )
 
+        # NOTE a whole-tile early exit (while_loop on `done`) measured
+        # +0.6 ms on the bench scene (bench/_scratch/ab_fwd, round 5):
+        # Mosaic sequences while bodies more conservatively than fori,
+        # and tiles rarely saturate all 256 pixels mid-list. The done
+        # mask still zeroes the work per pixel via `contributes`.
         def body(k, carry):
             acc, T, ncv, done = carry
             s0 = jax.lax.rem(k, 3)
@@ -535,14 +565,14 @@ def make_forward_tile(n_tiles: int, grid_x: int, ch: int):
             TP = TPx * (1.0 - alpha_s)
             not_done_px = done < 0.5
             contributes = not_done_px & (~skipped) & (TP >= T_MIN)
-            crossed = jnp.any((~skipped) & (TP < T_MIN), axis=-1,
-                              keepdims=True)
+            # see make_forward: last-lane TP == min TP, exactly
+            crossed = TP[:, CHUNK - 1:CHUNK] < T_MIN
             done = jnp.maximum(done, crossed.astype(jnp.float32))
             w = jnp.where(contributes, alpha * TPx, 0.0)
             featd = jnp.concatenate([buf[7:7 + ch, :], buf[6:7, :]], axis=0)
-            acc = acc + _dot(w, featd, ((1,), (1,)))
-            T = T * jnp.exp(jnp.sum(jnp.where(contributes, lf, 0.0),
-                                    axis=-1, keepdims=True))
+            acc = acc + _dot_high(w, featd, ((1,), (1,)))
+            T = jnp.min(jnp.where(contributes, TP, T), axis=-1,
+                        keepdims=True)
             pos1 = k * CHUNK + lane + 1
             nc_new = jnp.max(
                 jnp.where(contributes, pos1, 0).astype(jnp.float32),
@@ -593,9 +623,10 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
     R sentinel) so the rank-keyed reduction sort sees each live rank
     exactly once; chunks past the tile's last contributor
     (k*CHUNK >= max_nc[t]) skip the gradient math but still emit the
-    rank row. Output lanes past cstart[T]*CHUNK (the dynamic total) are
-    never written — the caller masks them (data -> 0, key -> R
-    sentinel) before the reduction sort.
+    rank row. The LAST grid step sentinel-fills the unwritten chunk
+    range [cstart[T], NC) (zero gradient rows, R-sentinel rank row) so
+    the caller feeds the buffer straight into the reduction sort — no
+    host-side 11-stream masking pass.
 
     Scalar prefetch: bounds [T+1], cstart [T+1] (exclusive cumsum of
     per-tile chunk counts), max_nc [T] (per-tile last contributor).
@@ -718,7 +749,7 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                 total = excl[:, CHUNK - 1:CHUNK] + lf[:, CHUNK - 1:CHUNK]
                 T_k = jnp.exp(logt_sc[:] + excl)
 
-                c_hat = _dot(g_acc, featd, ((1,), (0,)))
+                c_hat = _dot_high(g_acc, featd, ((1,), (0,)))
                 w = alpha_m * T_k
                 u = w * c_hat
                 Su = _dot3(u, _tri_incl())
@@ -730,7 +761,7 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                 amc = jnp.where(alpha_raw < ALPHA_MAX, alpha_m, 0.0)
                 dpower = amc * (T_k * c_hat - sterm / f)
 
-                gfeat = _dot(g_acc, w, ((0,), (0,)))
+                gfeat = _dot_high(g_acc, w, ((0,), (0,)))
 
                 pxv = pixl_x[:, 0]
                 pyv = pixl_y[:, 0]
@@ -739,7 +770,7 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
                      pxv * pyv],
                     axis=0,
                 )  # tile-local: a loop invariant
-                M = _dot(P6, dpower, ((1,), (0,)))
+                M = _dot_high(P6, dpower, ((1,), (0,)))
                 m0, mx, my, mxx, myy, mxy = (M[i:i + 1, :] for i in range(6))
                 sdx = xs * m0 - mx
                 sdy = ys * m0 - my
@@ -779,6 +810,45 @@ def make_backward_tile(n_tiles: int, grid_x: int, ch: int, num_chunks: int,
         @pl.when(n_chunks >= 1)
         def _drain1():
             odma(n_chunks - 1).wait()
+
+        @pl.when(t == n_tiles - 1)
+        def _tail_fill():
+            # sentinel-fill [cstart[T], NC): zero data + R-sentinel rank
+            # (runs after the drains, so both ring slots are free).
+            # Typically ~1 chunk (NC = R/CHUNK + T + 1 minus live); one
+            # [GF, CHUNK] DMA each through the reused 2-slot ring.
+            c_live = cstart_ref[n_tiles]
+            fill = jnp.concatenate(
+                [jnp.zeros((6 + CH1, CHUNK), jnp.float32),
+                 jnp.full((1, CHUNK), R_sent, jnp.float32),
+                 jnp.zeros((pad, CHUNK), jnp.float32)], axis=0)
+            osc_sc[0] = fill
+            osc_sc[1] = fill
+
+            def fdma(j):
+                slot = jax.lax.rem(j, 2)
+                ooff = pl.multiple_of(j * CHUNK, CHUNK)
+                return pltpu.make_async_copy(
+                    osc_sc.at[slot],
+                    out_ref.at[:, pl.ds(ooff, CHUNK)],
+                    osem.at[slot])
+
+            def fbody(j, _):
+                @pl.when(j >= c_live + 2)
+                def _w():
+                    fdma(j - 2).wait()
+                fdma(j).start()
+                return 0
+
+            jax.lax.fori_loop(c_live, num_chunks, fbody, 0)
+
+            @pl.when(c_live <= num_chunks - 2)
+            def _fd2():
+                fdma(num_chunks - 2).wait()
+
+            @pl.when(c_live <= num_chunks - 1)
+            def _fd1():
+                fdma(num_chunks - 1).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # bounds [T+1], cstart [T+1], max_nc [T]
@@ -1206,11 +1276,8 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
              jnp.cumsum(nck, dtype=jnp.int32)])
         (grows,) = bwd_call(sb.tile_bounds, cstart, max_nc,
                             sb.blocks, gall)       # [GF, NC*CHUNK]
-        # lanes past the dynamic total were never written by the tile
-        # kernel: zero their data and send their keys past every live
-        # rank so the reduction sort drops them with the dead lanes
-        vlan = jnp.arange(NC * CHUNK, dtype=jnp.int32) < cstart[-1] * CHUNK
-        r_sent = jnp.float32(R)
+        # lanes past the dynamic total carry the kernel's sentinel fill
+        # (zero data, R rank) — no host-side masking pass needed
         # deterministic rank-space reduction: ONE stable sort keyed by
         # the rank row the kernel emitted (row `live`; dead lanes carry
         # the R sentinel and fall past every live rank) puts the
@@ -1223,9 +1290,8 @@ def make_pallas_compositor_sorted(n_tiles: int, grid_x: int, ch: int,
         # identical (rank order), so gradients are bitwise-unchanged.
         # Column extraction is a FREE view off the payload-major output.
         live = 6 + CH1
-        cols = tuple(jnp.where(vlan, grows[i], 0.0) for i in range(live))
-        skey = jnp.where(vlan, grows[live],
-                         r_sent)                   # f32 rank | R sentinel
+        cols = tuple(grows[i] for i in range(live))
+        skey = grows[live]                         # f32 rank | R sentinel
         sorted_ = jax.lax.sort((skey,) + cols, num_keys=1, is_stable=True)
         from gaussianeditor_tpu.ops.binning_sorted import (
             KEY_BLK,
