@@ -47,18 +47,31 @@ def main():
     rng = np.random.RandomState(0)
     quats = rng.randn(n, 4).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    # densification headroom: capacity 2x the live count (fixed-capacity
+    # model: dead slots padded with identity quats, masked by `alive`)
+    cap = 2 * n
+
+    def pad(x):
+        padded = np.zeros((cap,) + x.shape[1:], x.dtype)
+        padded[:n] = x
+        return jnp.asarray(padded)
+
+    quats_padded = np.zeros((cap, 4), np.float32)
+    quats_padded[:, 0] = 1.0
+    quats_padded[:n] = quats
     params = GaussianParams(
-        xyz=jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
-        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
-        features_rest=jnp.asarray(np.zeros((n, 15, 3), np.float32)),
-        opacity_raw=jnp.asarray(rng.uniform(-1, 1, (n, 1)).astype(np.float32)),
-        log_scales=jnp.asarray(
+        xyz=pad(rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+        features_dc=pad(rng.randn(n, 1, 3).astype(np.float32) * 0.3),
+        features_rest=pad(np.zeros((n, 15, 3), np.float32)),
+        opacity_raw=pad(rng.uniform(-1, 1, (n, 1)).astype(np.float32)),
+        log_scales=pad(
             np.log(rng.uniform(0.004, 0.02, (n, 3))).astype(np.float32)),
-        quats=jnp.asarray(quats),
+        quats=jnp.asarray(quats_padded),
     )
-    # densification headroom: capacity 2x the live count
+    alive = np.zeros((cap,), bool)
+    alive[:n] = True
     scene = GaussianScene.create(params, max_sh_degree=3, active_sh_degree=3,
-                                 capacity=2 * n)
+                                 alive=alive)
     cams = orbit_cameras(args.views, 4.0, 0.8, 0.8, 512, 512)
 
     cfg = EditConfig(
@@ -72,6 +85,9 @@ def main():
         cameras_extent=2.0,
         max_instances=786_432,  # densification grows footprints
         async_guidance=True,
+        # amortize the relay's ~70 ms/dispatch: 10 steps per device
+        # program (= per_editing_step, so refresh cadence is unchanged)
+        dispatch_burst=10,
     )
     system = EditSystem(scene, cams, cfg, guidance=FakeGuidance())
 

@@ -104,6 +104,18 @@ class EditConfig:
     # visible one interval late (bounded staleness); the FIRST target for
     # a view is always generated synchronously.
     async_guidance: bool = False
+    # dispatch bursting: run up to this many train steps in ONE device
+    # program (lax.scan inside jit, trainer.make_multi_train_step). The
+    # per-step Python loop pays one dispatch round-trip per step; on a
+    # remote-dispatch TPU relay that is ~70 ms/step and dominates edit
+    # wall-clock. Bursts never span a guidance-refresh grid step, a
+    # densification/checkpoint boundary, or a resolution milestone, so
+    # training math is unchanged; the two semantic deltas are (a) a
+    # view FIRST-touched mid-burst gets its target generated from the
+    # burst-start scene (same bounded staleness as async_guidance) and
+    # (b) callbacks receive host floats once per burst instead of live
+    # per-step device scalars. 1 = off (exact reference loop cadence).
+    dispatch_burst: int = 1
     # renderer capacity knobs
     max_instances: Optional[int] = None
     tile_cap: int = 1024
@@ -244,6 +256,14 @@ class EditSystem:
         self.origin_frames: Dict[int, np.ndarray] = {}
         self.edit_frames: Dict[int, np.ndarray] = {}
         self._pending_targets: Dict[int, object] = {}
+        # burst-dispatch device caches (fit, dispatch_burst > 1): the
+        # [V,H,W,3] device-resident target cache + stacked all-view
+        # cameras, gathered by view id INSIDE the jitted multi-step so
+        # per-step host->device target uploads disappear
+        self._frames_dev = None
+        self._frames_sync: Dict[int, int] = {}
+        self._all_cams_dev = None
+        self._multi_step = None
         self._guidance_pool = None
         self.state: Optional[TrainState] = None
         self.key = jax.random.key(config.seed)
@@ -286,6 +306,9 @@ class EditSystem:
                 self._pending_targets.clear()
             self.cameras = [c.rescale(h, w) for c in self._base_cameras]
             self._cur_hw = (h, w)
+            self._frames_dev = None
+            self._frames_sync = {}
+            self._all_cams_dev = None
         return bs
 
     # --- setup (on_fit_start, GassuianEditorEdit.py:38-62) ---
@@ -460,6 +483,97 @@ class EditSystem:
                 g = g + lam * np.asarray(gi, np.float32)
         return jnp.asarray(g)
 
+    # --- burst dispatch (cfg.dispatch_burst > 1) ---
+
+    def _burst_len(self, s0: int, end: int) -> int:
+        """Longest burst [s0, s0+K) crossing NO training-loop boundary:
+        a guidance-refresh grid step (only the burst's first step may be
+        one), a densification or checkpoint step (must be a burst's last
+        step), or a resolution milestone / batch-size change."""
+        cfg = self.cfg
+        k_max = max(1, min(cfg.dispatch_burst, end - s0))
+
+        def refresh_at(s):
+            return (self.guidance is not None and cfg.per_editing_step > 0
+                    and cfg.edit_begin_step <= s < cfg.edit_until_step
+                    and s % cfg.per_editing_step == 0)
+
+        def densify_after(s):
+            return (0 < s < cfg.densify_until_step
+                    and s % cfg.densification_interval == 0)
+
+        def ckpt_after(s):
+            return (cfg.checkpoint_every > 0 and bool(cfg.checkpoint_dir)
+                    and (s + 1) % cfg.checkpoint_every == 0)
+
+        res0 = self._res_at(s0)
+        k = 1
+        while k < k_max:
+            s = s0 + k
+            if (refresh_at(s) or self._res_at(s) != res0
+                    or densify_after(s - 1) or ckpt_after(s - 1)):
+                break
+            k += 1
+        return k
+
+    def _flush_frames_dev(self, view_ids) -> None:
+        """Sync refreshed/new target frames into the [V,H,W,3] device
+        cache (object identity detects refreshes — guidance replaces the
+        np array per refresh)."""
+        V = len(self.cameras)
+        h, w = self.cameras[0].height, self.cameras[0].width
+        if (self._frames_dev is None
+                or self._frames_dev.shape[:3] != (V, h, w)):
+            self._frames_dev = jnp.zeros((V, h, w, 3), jnp.float32)
+            self._frames_sync = {}
+        idxs, ups = [], []
+        for v in sorted(set(int(v) for v in view_ids)):
+            f = self.edit_frames[v]
+            if self._frames_sync.get(v) != id(f):
+                idxs.append(v)
+                ups.append(np.asarray(f, np.float32))
+                self._frames_sync[v] = id(f)
+        if idxs:
+            self._frames_dev = self._frames_dev.at[
+                jnp.asarray(idxs, jnp.int32)].set(jnp.asarray(np.stack(ups)))
+
+    def _run_burst(self, step: int, K: int, bs: int, callback,
+                   overflow_any):
+        """Sample, refresh, and execute K steps in one device program."""
+        from gaussianeditor_tpu.config.config import C
+        from gaussianeditor_tpu.train.trainer import make_multi_train_step
+
+        ids = np.asarray(
+            [self.sampler.sample(bs) for _ in range(K)], np.int32)
+        for k in range(K):
+            self._refresh_targets([int(v) for v in ids[k]], step + k)
+        self._flush_frames_dev(ids.ravel().tolist())
+        if self._all_cams_dev is None:
+            self._all_cams_dev = stack_cameras(self.cameras)
+        if self._multi_step is None:
+            self._multi_step = make_multi_train_step(self.train_step)
+        w = self.cfg.loss
+        weights_seq = type(w)(**{
+            f: jnp.asarray([C(getattr(w, f), step + k) for k in range(K)],
+                           jnp.float32)
+            for f in ("lambda_l1", "lambda_p", "lambda_anchor_color",
+                      "lambda_anchor_geo", "lambda_anchor_scale",
+                      "lambda_anchor_opacity", "lambda_sds", "lambda_dds")
+        })
+        self.state, ms = self._multi_step(
+            self.state, self._all_cams_dev, self._frames_dev,
+            jnp.asarray(ids), weights_seq)
+        if callback is not None:
+            ms_host = jax.device_get(ms)  # ONE sync per burst
+            for k in range(K):
+                callback(step + k,
+                         {key: val[k] for key, val in ms_host.items()})
+        if "overflow" in ms:
+            of = jnp.any(ms["overflow"])
+            overflow_any = of if overflow_any is None else (
+                overflow_any | of)
+        return overflow_any
+
     # --- training ---
 
     def resume(self, ckpt_path: str) -> None:
@@ -491,14 +605,46 @@ class EditSystem:
             self.on_fit_start()
         n = n_steps if n_steps is not None else self.cfg.max_steps
         overflow_any = None
-        for _ in range(n):
+        # host-side step counter: state.step advances exactly one per
+        # train step (densify preserves it), so mirroring it on the host
+        # avoids a device sync per iteration (~70 ms on a remote-dispatch
+        # relay). Resume() restores state; we re-read once here.
+        step = int(self.state.step)
+        end = step + n
+        use_burst = self.cfg.dispatch_burst > 1 and not self._with_inject
+        while step < end:
             if should_stop is not None and should_stop():
                 break
-            step = int(self.state.step)
             # progressive resolution: rescale cameras + step the batch
             # size at milestones (gs_load.py:273-283); a size change
             # invalidates the frame caches and re-jits per size bucket
             bs = self._apply_resolution(step)
+            if use_burst:
+                K = self._burst_len(step, end)
+                if K > 1:
+                    overflow_any = self._run_burst(
+                        step, K, bs, callback, overflow_any)
+                    s_last = step + K - 1
+                    if (0 < s_last < self.cfg.densify_until_step
+                            and s_last % self.cfg.densification_interval
+                            == 0):
+                        self.key, sub = jax.random.split(self.key)
+                        self.state, _ = self.densify_step(self.state, sub)
+                    if (self.cfg.checkpoint_every > 0
+                            and self.cfg.checkpoint_dir
+                            and (s_last + 1) % self.cfg.checkpoint_every
+                            == 0):
+                        from gaussianeditor_tpu.train.checkpoint import (
+                            save_train_state,
+                        )
+
+                        save_train_state(
+                            os.path.join(self.cfg.checkpoint_dir,
+                                         f"state_{s_last + 1:06d}.npz"),
+                            self.state,
+                        )
+                    step += K
+                    continue
             view_ids = self.sampler.sample(bs)
             self._refresh_targets(view_ids, step)
             cam_batch = stack_cameras([self.cameras[v] for v in view_ids])
@@ -553,6 +699,7 @@ class EditSystem:
                 # (a per-step device_get would serialize dispatch)
                 overflow_any = (metrics["overflow"] if overflow_any is None
                                 else overflow_any | metrics["overflow"])
+            step += 1
         if overflow_any is not None and bool(jax.device_get(overflow_any)):
             import warnings
 

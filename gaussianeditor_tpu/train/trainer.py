@@ -255,6 +255,36 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(train_step):
+    """Burst dispatcher: run K train steps in ONE device program.
+
+    The per-step host loop pays one dispatch round-trip per step (the
+    reference's PL loop does too, but torch's eager queue hides it; on a
+    remote-dispatch TPU relay it is ~70 ms/step and dominates the
+    measured end-to-end edit wall-clock). Bursting K steps through
+    `lax.scan` amortizes it K-fold. Guidance refreshes, densification,
+    milestones and checkpoints stay OUTSIDE bursts — EditSystem sizes K
+    so no boundary is crossed (edit_system._burst_len).
+
+    cam_all: stacked pytree of ALL views' cameras (leaves [V, ...]);
+    frames_all: [V, H, W, 3] device-resident target cache;
+    ids: [K, B] int32 view indices (the sampler's draws for the burst);
+    weights_seq: LossWeights pytree with [K]-leaf schedules.
+    Returns (state, metrics stacked [K])."""
+
+    @jax.jit
+    def multi_step(state, cam_all, frames_all, ids, weights_seq):
+        def body(st, xs):
+            ids_k, w = xs
+            cam_b = jax.tree_util.tree_map(lambda x: x[ids_k], cam_all)
+            st, metrics = train_step(st, cam_b, frames_all[ids_k], w)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (ids, weights_seq))
+
+    return multi_step
+
+
 def make_densify_step(
     optim: GaussianAdam,
     config: DensifyConfig,

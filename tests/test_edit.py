@@ -290,6 +290,68 @@ class TestCheckpointResume:
             np.asarray(ref.state.scene.params.xyz), atol=1e-6)
 
 
+class TestDispatchBurst:
+    def _fit(self, burst, steps=21):
+        scene = random_scene(80, seed=5)
+        cams = orbit_cameras(6, 4.0, 0.8, 0.8, 48, 48)
+        cfg = EditConfig(
+            prompt="x", batch_size=2, max_steps=steps, per_editing_step=5,
+            densification_interval=10, densify_until_step=15,
+            edit_until_step=steps, cameras_extent=2.0,
+            max_instances=8192, tile_cap=512, chunk=64,
+            dispatch_burst=burst,
+        )
+        # guidance=None -> targets are the (deterministic) origin
+        # renders, so burst and per-step loops see identical inputs
+        sys_ = EditSystem(scene, cams, cfg, guidance=None,
+                          perceptual=None)
+        seen = []
+        sys_.fit(callback=lambda s, m: seen.append((s, float(m["loss"]))))
+        return sys_, seen
+
+    def test_burst_matches_per_step_loop(self):
+        """K-step scan bursts must train the same model as the per-step
+        loop: same sampler draws, same weights schedule, same densify
+        cadence (trainer.make_multi_train_step + fit burst branch)."""
+        s1, seen1 = self._fit(1)
+        s2, seen2 = self._fit(8)
+        assert int(s1.state.step) == int(s2.state.step) == 21
+        # callback fired once per step in both modes, in order
+        assert [s for s, _ in seen1] == [s for s, _ in seen2] == list(
+            range(21))
+        np.testing.assert_allclose(
+            np.asarray(s1.state.scene.params.xyz),
+            np.asarray(s2.state.scene.params.xyz), rtol=0, atol=2e-5)
+        np.testing.assert_allclose(
+            [l for _, l in seen1], [l for _, l in seen2],
+            rtol=2e-4)
+
+    def test_burst_respects_refresh_grid(self):
+        """With guidance on, bursts break at per_editing_step grid steps
+        so refresh cadence is unchanged vs the per-step loop."""
+        scene = random_scene(60, seed=7)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 48, 48)
+        calls = []
+
+        class CountingGuidance(FakeGuidance):
+            def __call__(self, rgb, cond_rgb, prompt):
+                calls.append(len(calls))
+                return super().__call__(rgb, cond_rgb, prompt)
+
+        cfg = EditConfig(
+            prompt="x", batch_size=2, max_steps=12, per_editing_step=4,
+            densification_interval=100, densify_until_step=0,
+            edit_until_step=12, cameras_extent=2.0,
+            max_instances=8192, tile_cap=512, chunk=64,
+            dispatch_burst=16,
+        )
+        sys_ = EditSystem(scene, cams, cfg, guidance=CountingGuidance(),
+                          perceptual=None)
+        sys_.fit()
+        assert int(sys_.state.step) == 12
+        assert len(calls) > 0
+
+
 class TestAsyncGuidance:
     def test_async_refresh_overlaps_training(self):
         """async_guidance=True refreshes edited targets on a worker

@@ -48,14 +48,18 @@ cams = orbit_cameras(8, 4.0, 0.8, 0.8, 128, 128)
 cfg = EditConfig(prompt="warmify", batch_size=2, max_steps=20,
                  per_editing_step=10, densification_interval=10,
                  densify_until_step=15, edit_until_step=20,
-                 cameras_extent=2.0, max_instances=65536)
+                 cameras_extent=2.0, max_instances=65536,
+                 dispatch_burst=5)  # exercises burst AND single paths
 es = EditSystem(scene, cams, cfg, guidance=FakeGuidance())
 hist = []
+steps_seen = []
 t0 = time.time()
-es.fit(callback=lambda s, m: hist.append((float(m["loss"]),
-                                          float(m["loss_l1"]),
-                                          float(m["loss_p"]))))
-print(f"edit fit 20 steps: {time.time()-t0:.1f}s")
+es.fit(callback=lambda s, m: (steps_seen.append(s),
+                              hist.append((float(m["loss"]),
+                                           float(m["loss_l1"]),
+                                           float(m["loss_p"])))))
+print(f"edit fit 20 steps (burst=5): {time.time()-t0:.1f}s")
+assert steps_seen == list(range(20)), steps_seen
 losses = [h[0] for h in hist]
 print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
       f"loss_p[0]={hist[0][2]:.5f} (perceptual ON)")
