@@ -93,11 +93,14 @@ def main():
 
     overflow_steps = 0
     losses = []
+    marks = []  # (step, seconds since fit start) every 100 steps
 
     def cb(step, metrics):
         nonlocal overflow_steps
         if bool(metrics.get("overflow", False)):
             overflow_steps += 1
+        if step % 100 == 0:
+            marks.append((int(step), round(time.perf_counter() - t0, 2)))
         if step % 200 == 0:
             losses.append((int(step), float(metrics["loss"])))
             print(f"step {step}: loss {float(metrics['loss']):.4f}",
@@ -123,11 +126,21 @@ def main():
     mp4 = save_video(os.path.join(args.out, "turntable.mp4"),
                      [(f * 255).astype(np.uint8) for f in frames], fps=20)
 
+    # warm rate: steps/s over the last 3/4 of training (excludes the
+    # one-time jit compiles that dominate the first bursts)
+    warm = [m for m in marks if m[0] >= args.steps // 4]
+    warm_rate = (round((warm[-1][0] - warm[0][0])
+                       / (warm[-1][1] - warm[0][1]), 2)
+                 if len(warm) >= 2 and warm[-1][1] > warm[0][1] else None)
     result = {
         "metric": "end-to-end edit wall-clock (2000 steps, 512^2, 96 views, "
                   "batch 2, densify interval 100, full objective)",
         "wall_minutes": round(wall_s / 60, 2),
         "steps_per_s": round(args.steps / wall_s, 2),
+        "warm_steps_per_s": warm_rate,
+        "warm_minutes_2000_steps": (round(args.steps / warm_rate / 60, 2)
+                                    if warm_rate else None),
+        "timeline": marks[:: max(1, len(marks) // 20)],
         "overflow_steps": overflow_steps,
         "n_alive_final": int(system.scene.n_alive),
         "losses": losses,

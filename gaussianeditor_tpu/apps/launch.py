@@ -187,6 +187,11 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", default="",
                         help="TrainState .npz to resume training from "
                              "(reference cfg.resume, launch.py:193)")
+    parser.add_argument("--gradio", action="store_true",
+                        help="headless-frontend mode (reference launch.py "
+                             "--gradio, :92-245): logs to <trial>/logs, "
+                             "progress to <trial>/progress, and assets "
+                             "are exported after training")
     parser.add_argument("overrides", nargs="*", help="key.path=value")
     args = parser.parse_args(argv)
 
@@ -195,6 +200,17 @@ def main(argv=None) -> None:
     out_dir = cfg.get("output_dir", "outputs/trial")
     trial_dir = os.path.join(out_dir, time.strftime("%Y%m%d-%H%M%S"))
     os.makedirs(trial_dir, exist_ok=True)
+    if args.gradio:
+        # a frontend polls <trial>/progress and tails <trial>/logs; the
+        # trained scene must always be exported for the frontend to pick
+        # up (reference launch.py:123-126 file logging, :195-197
+        # train-then-predict)
+        import logging
+
+        fh = logging.FileHandler(os.path.join(trial_dir, "logs"))
+        fh.setLevel(logging.INFO)
+        logging.getLogger().addHandler(fh)
+        args.export = args.export or args.train
     # config snapshot (ConfigSnapshotCallback parity)
     with open(os.path.join(trial_dir, "parsed.yaml"), "w") as f:
         import yaml

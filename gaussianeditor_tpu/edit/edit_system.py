@@ -410,8 +410,12 @@ class EditSystem:
             return fn(*args)
         return self._guidance_submit(fn, *args).result()
 
-    def _gen_target(self, current: np.ndarray, origin: np.ndarray):
-        out = self.guidance(current, origin, self.cfg.prompt)
+    def _gen_target(self, current, origin: np.ndarray):
+        # `current` may be a DEVICE array: the async refresh path hands
+        # the render over un-fetched so the device->host transfer blocks
+        # the guidance WORKER thread, not the training loop (measured
+        # ~300-400 ms of main-thread sync per refresh on the relay)
+        out = self.guidance(np.asarray(current), origin, self.cfg.prompt)
         return np.asarray(out.edit_image, np.float32)
 
     def _refresh_targets(self, view_ids: List[int], step: int) -> None:
@@ -433,9 +437,10 @@ class EditSystem:
             )
             if not stale:
                 continue
-            current = np.asarray(
-                self._render_cache(self.state.scene, self.cameras[vid])
-            )
+            # leave the render un-fetched: _gen_target converts on the
+            # guidance worker for async refreshes (no main-thread sync)
+            current = self._render_cache(self.state.scene,
+                                         self.cameras[vid])
             if self.cfg.async_guidance and vid in self.edit_frames:
                 # refresh in the background; train on the previous target
                 # until it lands (one worker serializes guidance calls —

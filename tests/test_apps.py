@@ -61,6 +61,41 @@ class TestLaunchCLI:
         parsed = yaml.safe_load(open(os.path.join(trial, "parsed.yaml")))
         assert parsed["system"]["max_steps"] == 3
 
+    def test_gradio_mode_writes_frontend_files(self, tmp_path):
+        """--gradio (reference launch.py:92-245): logs file + progress
+        file in the trial dir, assets exported after training."""
+        ws = _make_workspace(tmp_path)
+        scene = random_scene(40, seed=1)
+        ply = os.path.join(tmp_path, "scene.ply")
+        save_ply(scene, ply)
+        cfg = {
+            "mode": "edit",
+            "gs_source": ply,
+            "colmap_dir": ws,
+            "height": 64,
+            "width": 64,
+            "guidance": "fake",
+            "output_dir": os.path.join(str(tmp_path), "out_gradio"),
+            "system": {
+                "prompt": "x",
+                "batch_size": 2,
+                "max_steps": 2,
+                "per_editing_step": 10,
+                "densify_until_step": 0,
+                "max_instances": 8192,
+                "tile_cap": 256,
+                "chunk": 32,
+            },
+        }
+        cfg_path = os.path.join(tmp_path, "edit_gradio.yaml")
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+        launch_main(["--config", cfg_path, "--train", "--gradio"])
+        trial = os.path.join(
+            cfg["output_dir"], os.listdir(cfg["output_dir"])[0])
+        assert os.path.exists(os.path.join(trial, "logs"))
+        assert os.path.exists(os.path.join(trial, "progress"))
+        assert os.path.exists(os.path.join(trial, "last.ply"))
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
