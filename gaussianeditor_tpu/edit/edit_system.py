@@ -542,12 +542,26 @@ class EditSystem:
             self._frames_dev = self._frames_dev.at[
                 jnp.asarray(idxs, jnp.int32)].set(jnp.asarray(np.stack(ups)))
 
+    def _burst_pad(self, step: int) -> int:
+        """Fixed scan length bursts pad to, so the whole loop compiles
+        ONE program per regime instead of one per boundary-shortened K
+        (each a multi-minute jit). Steady-state K is capped by the
+        refresh grid while editing is active, by dispatch_burst after."""
+        cfg = self.cfg
+        if (self.guidance is not None and cfg.per_editing_step > 0
+                and step < cfg.edit_until_step):
+            return max(1, min(cfg.dispatch_burst, cfg.per_editing_step))
+        return cfg.dispatch_burst
+
     def _run_burst(self, step: int, K: int, bs: int, callback,
                    overflow_any):
-        """Sample, refresh, and execute K steps in one device program."""
+        """Sample, refresh, and execute K steps in one device program
+        (padded to _burst_pad with disabled rows: ~one step of discarded
+        compute per boundary instead of a fresh compile)."""
         from gaussianeditor_tpu.config.config import C
         from gaussianeditor_tpu.train.trainer import make_multi_train_step
 
+        kp = max(K, self._burst_pad(step))
         ids = np.asarray(
             [self.sampler.sample(bs) for _ in range(K)], np.int32)
         for k in range(K):
@@ -557,24 +571,29 @@ class EditSystem:
             self._all_cams_dev = stack_cameras(self.cameras)
         if self._multi_step is None:
             self._multi_step = make_multi_train_step(self.train_step)
+        ids_pad = np.concatenate(
+            [ids, np.broadcast_to(ids[:1], (kp - K, ids.shape[1]))])
+        enabled = np.zeros((kp,), bool)
+        enabled[:K] = True
         w = self.cfg.loss
         weights_seq = type(w)(**{
-            f: jnp.asarray([C(getattr(w, f), step + k) for k in range(K)],
-                           jnp.float32)
+            f: jnp.asarray(
+                [C(getattr(w, f), step + min(k, K - 1)) for k in range(kp)],
+                jnp.float32)
             for f in ("lambda_l1", "lambda_p", "lambda_anchor_color",
                       "lambda_anchor_geo", "lambda_anchor_scale",
                       "lambda_anchor_opacity", "lambda_sds", "lambda_dds")
         })
         self.state, ms = self._multi_step(
             self.state, self._all_cams_dev, self._frames_dev,
-            jnp.asarray(ids), weights_seq)
+            jnp.asarray(ids_pad), jnp.asarray(enabled), weights_seq)
         if callback is not None:
             ms_host = jax.device_get(ms)  # ONE sync per burst
             for k in range(K):
                 callback(step + k,
                          {key: val[k] for key, val in ms_host.items()})
         if "overflow" in ms:
-            of = jnp.any(ms["overflow"])
+            of = jnp.any(ms["overflow"][:K])
             overflow_any = of if overflow_any is None else (
                 overflow_any | of)
         return overflow_any
@@ -625,31 +644,30 @@ class EditSystem:
             # invalidates the frame caches and re-jits per size bucket
             bs = self._apply_resolution(step)
             if use_burst:
+                # every burst (even a boundary K=1) rides the ONE padded
+                # scan program — see _burst_pad
                 K = self._burst_len(step, end)
-                if K > 1:
-                    overflow_any = self._run_burst(
-                        step, K, bs, callback, overflow_any)
-                    s_last = step + K - 1
-                    if (0 < s_last < self.cfg.densify_until_step
-                            and s_last % self.cfg.densification_interval
-                            == 0):
-                        self.key, sub = jax.random.split(self.key)
-                        self.state, _ = self.densify_step(self.state, sub)
-                    if (self.cfg.checkpoint_every > 0
-                            and self.cfg.checkpoint_dir
-                            and (s_last + 1) % self.cfg.checkpoint_every
-                            == 0):
-                        from gaussianeditor_tpu.train.checkpoint import (
-                            save_train_state,
-                        )
+                overflow_any = self._run_burst(
+                    step, K, bs, callback, overflow_any)
+                s_last = step + K - 1
+                if (0 < s_last < self.cfg.densify_until_step
+                        and s_last % self.cfg.densification_interval == 0):
+                    self.key, sub = jax.random.split(self.key)
+                    self.state, _ = self.densify_step(self.state, sub)
+                if (self.cfg.checkpoint_every > 0
+                        and self.cfg.checkpoint_dir
+                        and (s_last + 1) % self.cfg.checkpoint_every == 0):
+                    from gaussianeditor_tpu.train.checkpoint import (
+                        save_train_state,
+                    )
 
-                        save_train_state(
-                            os.path.join(self.cfg.checkpoint_dir,
-                                         f"state_{s_last + 1:06d}.npz"),
-                            self.state,
-                        )
-                    step += K
-                    continue
+                    save_train_state(
+                        os.path.join(self.cfg.checkpoint_dir,
+                                     f"state_{s_last + 1:06d}.npz"),
+                        self.state,
+                    )
+                step += K
+                continue
             view_ids = self.sampler.sample(bs)
             self._refresh_targets(view_ids, step)
             cam_batch = stack_cameras([self.cameras[v] for v in view_ids])

@@ -269,18 +269,27 @@ def make_multi_train_step(train_step):
     cam_all: stacked pytree of ALL views' cameras (leaves [V, ...]);
     frames_all: [V, H, W, 3] device-resident target cache;
     ids: [K, B] int32 view indices (the sampler's draws for the burst);
+    enabled: [K] bool — False rows compute-and-discard (the state is
+    where-gated back to its previous value), so EVERY burst pads to one
+    fixed K and the whole training loop compiles exactly ONE program
+    (boundary-shortened bursts — a K=9 after each densify step, K=1 at
+    the densify step itself — would otherwise each pay their own
+    multi-minute jit compile for ~45 ms of skipped work per pad row);
     weights_seq: LossWeights pytree with [K]-leaf schedules.
-    Returns (state, metrics stacked [K])."""
+    Returns (state, metrics stacked [K]; pad rows carry garbage — the
+    caller slices by its own enabled mask)."""
 
     @jax.jit
-    def multi_step(state, cam_all, frames_all, ids, weights_seq):
+    def multi_step(state, cam_all, frames_all, ids, enabled, weights_seq):
         def body(st, xs):
-            ids_k, w = xs
+            ids_k, en, w = xs
             cam_b = jax.tree_util.tree_map(lambda x: x[ids_k], cam_all)
-            st, metrics = train_step(st, cam_b, frames_all[ids_k], w)
+            st2, metrics = train_step(st, cam_b, frames_all[ids_k], w)
+            st = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(en, new, old), st2, st)
             return st, metrics
 
-        return jax.lax.scan(body, state, (ids, weights_seq))
+        return jax.lax.scan(body, state, (ids, enabled, weights_seq))
 
     return multi_step
 
