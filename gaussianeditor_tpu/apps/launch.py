@@ -174,6 +174,38 @@ class TensorBoardLogger:
             self.writer.close()
 
 
+def _load_posed_images(img_dir: str, scene_cams) -> list:
+    """Load the COLMAP-registered training images at each camera's
+    (possibly aspect-refit) resolution — the reference's
+    `scene/dataset_readers.py` PIL load + resize flow."""
+    import imageio.v2 as imageio
+    from PIL import Image
+
+    images = []
+    for cam, name in zip(scene_cams.cameras, scene_cams.image_names):
+        path = os.path.join(img_dir, name)
+        if not os.path.exists(path):
+            stem = os.path.splitext(name)[0]
+            for ext in (".png", ".jpg", ".jpeg", ".JPG", ".PNG"):
+                if os.path.exists(os.path.join(img_dir, stem + ext)):
+                    path = os.path.join(img_dir, stem + ext)
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"training image {name} not found under {img_dir}")
+        im = np.asarray(imageio.imread(path))
+        if im.dtype != np.uint8:
+            im = np.clip(im, 0, 255).astype(np.uint8)
+        if im.ndim == 2:
+            im = np.repeat(im[..., None], 3, axis=-1)
+        im = im[..., :3]
+        if im.shape[:2] != (cam.height, cam.width):
+            im = np.asarray(Image.fromarray(im).resize(
+                (cam.width, cam.height), Image.BILINEAR))
+        images.append(im.astype(np.float32) / 255.0)
+    return images
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -313,9 +345,19 @@ def main(argv=None) -> None:
         merged = system.run()
         save_ply(merged, os.path.join(trial_dir, "merged.ply"))
     elif mode == "recon":
-        raise SystemExit(
-            "recon mode requires posed images; use train.recon.ReconTrainer "
-            "programmatically"
+        # vanilla 3DGS reconstruction from a COLMAP workspace + posed
+        # images (the reference's gaussiansplatting/train.py flow:
+        # SfM point init + per-view photometric fit)
+        from gaussianeditor_tpu.train.recon import ReconConfig, ReconTrainer
+
+        images = _load_posed_images(
+            os.path.join(cfg["colmap_dir"],
+                         cfg.get("images_subdir", "images")),
+            scene_cams,
+        )
+        system = ReconTrainer(
+            scene, scene_cams.cameras, images,
+            parse_structured(ReconConfig, sys_cfg),
         )
     else:
         raise ValueError(f"unknown mode '{mode}'")
@@ -345,6 +387,14 @@ def main(argv=None) -> None:
 
         system.guidance = FakeGuidance()
         system.fit(n_steps=system.cfg.refine_steps, callback=logger)
+    elif args.train and mode == "recon":
+        progress = ProgressWriter(trial_dir, system.cfg.max_steps)
+
+        def _rcb(step, metrics):
+            logger(step, metrics)
+            progress(step, metrics)
+
+        system.fit(callback=_rcb)
 
     final_scene = system.scene if system is not None else scene
 

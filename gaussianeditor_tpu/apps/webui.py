@@ -754,6 +754,10 @@ def main(argv=None):
     p.add_argument("--colmap_dir", required=True)
     p.add_argument("--port", type=int, default=8084)
     p.add_argument("--guidance", default="fake")
+    p.add_argument("--dispatch_burst", type=int, default=1,
+                   help="train steps per device program during "
+                        "background training (see EditConfig."
+                        "dispatch_burst); 1 = live per-step status")
     args = p.parse_args(argv)
 
     n_pts = ply_vertex_count(args.gs_source)
@@ -767,7 +771,8 @@ def main(argv=None):
         segmentor=FakeSegmentor() if args.guidance == "fake"
         else build_segmentor("langsam"),
         edit_config=EditConfig(batch_size=2,
-                               cameras_extent=cams.cameras_extent),
+                               cameras_extent=cams.cameras_extent,
+                               dispatch_burst=args.dispatch_burst),
     )
     serve(state, args.port)
 

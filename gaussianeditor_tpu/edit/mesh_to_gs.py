@@ -220,11 +220,16 @@ def photometric_fit(
     batch_size: int = 2,
     max_instances: Optional[int] = None,
     seed: int = 0,
+    dispatch_burst: int = 1,
 ) -> GaussianScene:
     """Fit Gaussian APPEARANCE to target multiview images with frozen
     geometry — the reference's coarse phase (train_from_mesh.py:68-81,
     115-139): position/scaling/rotation/opacity LRs zeroed,
-    feature_lr = 0.00625, loss = (1-lambda)*L1 + lambda*(1-SSIM)."""
+    feature_lr = 0.00625, loss = (1-lambda)*L1 + lambda*(1-SSIM).
+
+    dispatch_burst > 1 runs that many steps per device program (the fit
+    has no densify/refresh boundaries, so the whole run bursts —
+    amortizes per-step host dispatch on remote-dispatch TPU hosts)."""
     import jax.numpy as jnp
 
     from gaussianeditor_tpu.train.losses import ssim
@@ -254,10 +259,35 @@ def photometric_fit(
     tgts = jnp.asarray(np.asarray(targets, np.float32))
     rng = np.random.RandomState(seed)
     n_views = len(cameras)
-    for _ in range(steps):
-        ids = rng.randint(0, n_views, size=batch_size)
-        cam_batch = stack_cameras([cameras[i] for i in ids])
-        state, _ = step(state, cam_batch, tgts[jnp.asarray(ids)])
+    if dispatch_burst > 1:
+        from gaussianeditor_tpu.train.trainer import make_multi_train_step
+
+        multi = make_multi_train_step(step)
+        cam_all = stack_cameras(cameras)
+        kp = dispatch_burst
+        wseq = type(weights)(**{
+            f: jnp.full((kp,), getattr(weights, f), jnp.float32)
+            for f in ("lambda_l1", "lambda_p", "lambda_anchor_color",
+                      "lambda_anchor_geo", "lambda_anchor_scale",
+                      "lambda_anchor_opacity", "lambda_sds", "lambda_dds")
+        })
+        s = 0
+        while s < steps:
+            K = min(kp, steps - s)
+            ids = rng.randint(0, n_views, size=(K, batch_size))
+            ids_pad = np.concatenate(
+                [ids, np.broadcast_to(ids[:1], (kp - K, batch_size))])
+            enabled = np.zeros((kp,), bool)
+            enabled[:K] = True
+            state, _ = multi(state, cam_all, tgts,
+                             jnp.asarray(ids_pad, jnp.int32),
+                             jnp.asarray(enabled), wseq)
+            s += K
+    else:
+        for _ in range(steps):
+            ids = rng.randint(0, n_views, size=batch_size)
+            cam_batch = stack_cameras([cameras[i] for i in ids])
+            state, _ = step(state, cam_batch, tgts[jnp.asarray(ids)])
     return scene.replace(params=state.scene.params)
 
 

@@ -55,6 +55,14 @@ class ReconConfig:
     tile_cap: int = 2048
     chunk: int = 128
     impl: Optional[str] = None
+    # run up to this many train steps per device program (lax.scan in
+    # one jit, same design as edit_system's burst dispatcher): amortizes
+    # the per-step host dispatch round-trip that dominates long vanilla
+    # runs (30k steps) on remote-dispatch hosts. Bursts never span an
+    # SH-oneup, densify, or opacity-reset boundary; shortened boundary
+    # bursts pad to one fixed length with disabled rows so the loop
+    # compiles ONE scan program per SH degree. 1 = exact per-step loop.
+    dispatch_burst: int = 1
 
 
 class ReconTrainer:
@@ -138,32 +146,109 @@ class ReconTrainer:
 
         self._opacity_reset = opacity_reset
 
+        @jax.jit
+        def multi_step(state, cams, imgs, ids, enabled):
+            # K steps per device program; disabled rows compute-and-
+            # discard (state where-gated back) so every burst shares one
+            # compiled scan (see edit_system.make_multi_train_step)
+            def body(st, xs):
+                vid, en = xs
+                cam = jax.tree_util.tree_map(lambda x: x[vid], cams)
+                st2, m = train_step(st, cam, imgs[vid])
+                st = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(en, new, old), st2, st)
+                return st, m
+
+            return jax.lax.scan(body, state, (ids, enabled))
+
+        self._multi_step = multi_step
+        self._cams_dev = None
+        self._imgs_dev = None
+
+    @property
+    def scene(self) -> GaussianScene:
+        return self.state.scene
+
     def _next_view(self) -> int:
         if not self._stack:
             self._stack = list(self.rng.permutation(len(self.cameras)))
         return int(self._stack.pop())
 
+    def _sh_up_at(self, s: int) -> bool:
+        cfg = self.cfg
+        return s > 0 and cfg.oneup_sh_every > 0 and s % cfg.oneup_sh_every == 0
+
+    def _densify_after(self, s: int) -> bool:
+        cfg = self.cfg
+        return (cfg.densify_from_step <= s < cfg.densify_until_step
+                and s % cfg.densification_interval == 0 and s > 0)
+
+    def _reset_after(self, s: int) -> bool:
+        cfg = self.cfg
+        return (cfg.opacity_reset_interval > 0 and s > 0
+                and s % cfg.opacity_reset_interval == 0)
+
+    def _burst_len(self, s0: int, end: int) -> int:
+        k_max = max(1, min(self.cfg.dispatch_burst, end - s0))
+        k = 1
+        while k < k_max:
+            s = s0 + k
+            if (self._sh_up_at(s) or self._densify_after(s - 1)
+                    or self._reset_after(s - 1)):
+                break
+            k += 1
+        return k
+
+    def _run_burst(self, step: int, K: int, callback) -> None:
+        if self._cams_dev is None:
+            from gaussianeditor_tpu.train.trainer import stack_cameras
+
+            self._cams_dev = stack_cameras(self.cameras)
+            self._imgs_dev = jnp.stack(self.images)
+        kp = max(K, self.cfg.dispatch_burst)
+        ids = np.asarray([self._next_view() for _ in range(K)], np.int32)
+        ids_pad = np.concatenate(
+            [ids, np.broadcast_to(ids[:1], (kp - K,))])
+        enabled = np.zeros((kp,), bool)
+        enabled[:K] = True
+        self.state, ms = self._multi_step(
+            self.state, self._cams_dev, self._imgs_dev,
+            jnp.asarray(ids_pad), jnp.asarray(enabled))
+        if callback is not None:
+            ms_host = jax.device_get(ms)
+            for k in range(K):
+                callback(step + k,
+                         {key: val[k] for key, val in ms_host.items()})
+
     def fit(self, n_steps: Optional[int] = None, callback=None) -> TrainState:
         cfg = self.cfg
         n = n_steps if n_steps is not None else cfg.max_steps
-        for _ in range(n):
-            step = int(self.state.step)
-            if step > 0 and cfg.oneup_sh_every > 0 \
-                    and step % cfg.oneup_sh_every == 0:
+        step = int(self.state.step)
+        end = step + n
+        # bursts require one stacked camera pytree: same-size views only
+        use_burst = cfg.dispatch_burst > 1 and len(
+            {(c.height, c.width) for c in self.cameras}) == 1
+        while step < end:
+            if self._sh_up_at(step):
                 self.state = self.state.replace(
                     scene=self.state.scene.one_up_sh_degree()
                 )
-            vid = self._next_view()
-            self.state, metrics = self._train_step(
-                self.state, self.cameras[vid], self.images[vid]
-            )
-            if (cfg.densify_from_step <= step < cfg.densify_until_step
-                    and step % cfg.densification_interval == 0 and step > 0):
+            if use_burst:
+                K = self._burst_len(step, end)
+                self._run_burst(step, K, callback)
+            else:
+                K = 1
+                vid = self._next_view()
+                self.state, metrics = self._train_step(
+                    self.state, self.cameras[vid], self.images[vid]
+                )
+                if callback is not None:
+                    callback(step, metrics)
+            s_last = step + K - 1
+            if self._densify_after(s_last):
                 self.key, sub = jax.random.split(self.key)
                 self.state, _ = self._densify_step(self.state, sub)
-            if (cfg.opacity_reset_interval > 0 and step > 0
-                    and step % cfg.opacity_reset_interval == 0):
+            if self._reset_after(s_last):
                 self.state = self._opacity_reset(self.state)
-            if callback is not None:
-                callback(step, metrics)
+            step += K
         return self.state

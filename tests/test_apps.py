@@ -61,6 +61,57 @@ class TestLaunchCLI:
         parsed = yaml.safe_load(open(os.path.join(trial, "parsed.yaml")))
         assert parsed["system"]["max_steps"] == 3
 
+    def test_recon_mode_end_to_end(self, tmp_path):
+        """mode: recon — vanilla 3DGS fit from a COLMAP workspace +
+        posed images (the reference's gaussiansplatting/train.py flow),
+        SfM-point init, burst dispatch, PLY export."""
+        import imageio.v2 as imageio
+
+        from gaussianeditor_tpu.data.camera_scene import CamScene
+        from gaussianeditor_tpu.ops.render import render
+
+        ws = _make_workspace(tmp_path)
+        sc = CamScene(ws, h=64, w=64)
+        target = random_scene(60, seed=5)
+        rfn = jax.jit(lambda s, c: render(
+            s, c, jnp.zeros(3), impl="tiled", max_instances=8192,
+            tile_cap=256, chunk=32).color)
+        os.makedirs(os.path.join(ws, "images"))
+        for cam, name in zip(sc.cameras, sc.image_names):
+            im = np.clip(np.asarray(rfn(target, cam)), 0, 1)
+            # COLMAP names say .jpg; write .png (loader falls back by stem)
+            imageio.imwrite(
+                os.path.join(ws, "images",
+                             os.path.splitext(name)[0] + ".png"),
+                (im * 255).astype(np.uint8))
+        cfg = {
+            "mode": "recon",
+            "colmap_dir": ws,
+            "height": 64,
+            "width": 64,
+            "output_dir": os.path.join(str(tmp_path), "out_recon"),
+            "system": {
+                "max_steps": 8,
+                "densify_from_step": 10_000,
+                "opacity_reset_interval": 0,
+                "oneup_sh_every": 0,
+                "max_instances": 8192,
+                "tile_cap": 256,
+                "chunk": 32,
+                "impl": "tiled",
+                "dispatch_burst": 4,
+            },
+        }
+        cfg_path = os.path.join(tmp_path, "recon.yaml")
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+        launch_main(["--config", cfg_path, "--train"])
+        trial = os.path.join(
+            cfg["output_dir"], os.listdir(cfg["output_dir"])[0])
+        assert os.path.exists(os.path.join(trial, "last.ply"))
+        rows = [json.loads(l) for l in
+                open(os.path.join(trial, "metrics.jsonl"))]
+        assert len(rows) == 8 and np.isfinite(rows[-1]["loss"])
+
     def test_gradio_mode_writes_frontend_files(self, tmp_path):
         """--gradio (reference launch.py:92-245): logs file + progress
         file in the trial dir, assets exported after training."""

@@ -119,6 +119,25 @@ class TestPhotometricFit:
         assert (np.asarray(fitted.params.features_dc)
                 != np.asarray(scene.params.features_dc)).any()
 
+    def test_burst_matches_per_step_fit(self):
+        """dispatch_burst scan bursts draw the same view sequence and
+        fit the same appearance as the per-step loop."""
+        v, f = _octahedron()
+        pts, cols = sample_mesh_surface(v, f, 300, None, 0)
+        from gaussianeditor_tpu.models.gaussians import GaussianScene
+
+        scene = GaussianScene.from_points(pts, cols, max_sh_degree=0)
+        cams = orbit_cameras(4, 1.5, 0.8, 0.8, 32, 32,
+                             center=v.mean(axis=0))
+        targets = np.stack([render_mesh_lambertian(v, f, c) for c in cams])
+        a = photometric_fit(scene, cams, targets, steps=11,
+                            max_instances=4096)
+        b = photometric_fit(scene, cams, targets, steps=11,
+                            max_instances=4096, dispatch_burst=4)
+        np.testing.assert_allclose(
+            np.asarray(a.params.features_dc),
+            np.asarray(b.params.features_dc), rtol=0, atol=2e-5)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -74,4 +74,28 @@ save_ply(es.state.scene, "/tmp/verify_drive.ply")
 loaded = load_ply("/tmp/verify_drive.ply", capacity=scene.capacity)
 out2 = rfn(loaded, cam)
 print("ply roundtrip render finite:", bool(np.isfinite(np.asarray(out2.color)).all()))
+
+# vanilla recon fit (burst dispatch): photometric fit to renders of a
+# target scene must reduce loss
+from gaussianeditor_tpu.train.recon import ReconConfig, ReconTrainer
+
+rcams = orbit_cameras(6, 4.0, 0.8, 0.8, 128, 128)
+rtarget = scene
+rimg_fn = jax.jit(lambda s, c: jnp.clip(
+    render(s, c, jnp.zeros(3), max_instances=131072, tile_cap=512).color,
+    0, 1))
+rimages = [np.asarray(rimg_fn(rtarget, c)) for c in rcams]
+rinit = scene.replace(params=scene.params.replace(
+    features_dc=scene.params.features_dc * 0.0))
+rcfg = ReconConfig(max_steps=12, densify_from_step=10_000,
+                   opacity_reset_interval=0, oneup_sh_every=0,
+                   cameras_extent=2.0, max_instances=131072, tile_cap=512,
+                   dispatch_burst=6)
+rt = ReconTrainer(rinit, rcams, rimages, rcfg)
+rhist = []
+t0 = time.time()
+rt.fit(callback=lambda s, m: rhist.append(float(m["loss"])))
+print(f"recon fit 12 steps (burst=6): {time.time()-t0:.1f}s; "
+      f"loss {rhist[0]:.4f} -> {rhist[-1]:.4f}")
+assert len(rhist) == 12 and rhist[-1] < rhist[0]
 print("VERIFY OK")
