@@ -326,6 +326,65 @@ class TestDispatchBurst:
             [l for _, l in seen1], [l for _, l in seen2],
             rtol=2e-4)
 
+    def test_burst_crosses_resolution_milestones(self):
+        """Bursts break at milestones; the device frame/camera caches
+        invalidate on the size change and the run finishes finite with
+        callbacks for every step."""
+        scene = random_scene(50, seed=9)
+        cams = orbit_cameras(4, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(
+            prompt="p", batch_size=1, max_steps=9, per_editing_step=0,
+            densification_interval=100, densify_until_step=0,
+            edit_until_step=9, cameras_extent=2.0,
+            max_instances=8192, tile_cap=512, chunk=64,
+            resolution_milestones=[3, 6],
+            heights=[32, 48, 64], widths=[32, 48, 64],
+            batch_sizes=[1, 1, 2],
+            dispatch_burst=8,
+        )
+        sys_ = EditSystem(scene, cams, cfg, guidance=FakeGuidance(),
+                          perceptual=None)
+        seen = []
+        sys_.fit(callback=lambda s, m: seen.append(
+            (s, float(m["loss"]))))
+        assert [s for s, _ in seen] == list(range(9))
+        assert np.isfinite([l for _, l in seen]).all()
+        assert sys_._frames_dev.shape[1:3] == (64, 64)
+        assert int(sys_.state.step) == 9
+
+    def test_burst_checkpoint_resume_matches(self, tmp_path):
+        """Periodic checkpoints written at burst boundaries; resuming a
+        burst run reproduces the uninterrupted trajectory."""
+        import os
+
+        def build(ckpt_dir):
+            scene = random_scene(60, seed=15)
+            cams = orbit_cameras(5, 4.0, 0.8, 0.8, 48, 48)
+            cfg = EditConfig(
+                prompt="x", batch_size=2, max_steps=12,
+                per_editing_step=4, densification_interval=100,
+                densify_until_step=0, edit_until_step=12,
+                cameras_extent=2.0, max_instances=8192, tile_cap=512,
+                chunk=64, dispatch_burst=4,
+                checkpoint_every=8, checkpoint_dir=ckpt_dir,
+            )
+            return EditSystem(scene, cams, cfg, guidance=None,
+                              perceptual=None)
+
+        d1 = str(tmp_path / "a")
+        full = build(d1)
+        full.fit()
+        ckpt = os.path.join(d1, "state_000008.npz")
+        assert os.path.exists(ckpt)
+
+        resumed = build(str(tmp_path / "b"))
+        resumed.resume(ckpt)
+        resumed.fit(n_steps=4)
+        np.testing.assert_allclose(
+            np.asarray(full.state.scene.params.xyz),
+            np.asarray(resumed.state.scene.params.xyz),
+            rtol=0, atol=1e-6)
+
     def test_burst_respects_refresh_grid(self):
         """With guidance on, bursts break at per_editing_step grid steps
         so refresh cadence is unchanged vs the per-step loop."""
