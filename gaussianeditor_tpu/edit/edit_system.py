@@ -264,6 +264,7 @@ class EditSystem:
         self._frames_sync: Dict[int, int] = {}
         self._all_cams_dev = None
         self._multi_step = None
+        self._pending_metrics = None
         self._guidance_pool = None
         self.state: Optional[TrainState] = None
         self.key = jax.random.key(config.seed)
@@ -588,15 +589,31 @@ class EditSystem:
             self.state, self._all_cams_dev, self._frames_dev,
             jnp.asarray(ids_pad), jnp.asarray(enabled), weights_seq)
         if callback is not None:
-            ms_host = jax.device_get(ms)  # ONE sync per burst
-            for k in range(K):
-                callback(step + k,
-                         {key: val[k] for key, val in ms_host.items()})
+            # deferred drain: fetch THIS burst's metrics while the NEXT
+            # burst computes (device_get is a full relay round-trip that
+            # would otherwise serialize against an idle device); the
+            # callback still fires once per step, in order, one burst
+            # late. fit() drains the tail before returning.
+            jax.tree_util.tree_map(
+                lambda x: x.copy_to_host_async()
+                if hasattr(x, "copy_to_host_async") else None, ms)
+            self._drain_metrics(callback)
+            self._pending_metrics = (step, K, ms)
         if "overflow" in ms:
             of = jnp.any(ms["overflow"][:K])
             overflow_any = of if overflow_any is None else (
                 overflow_any | of)
         return overflow_any
+
+    def _drain_metrics(self, callback) -> None:
+        if self._pending_metrics is None:
+            return
+        step0, K, ms = self._pending_metrics
+        self._pending_metrics = None
+        ms_host = jax.device_get(ms)
+        for k in range(K):
+            callback(step0 + k,
+                     {key: val[k] for key, val in ms_host.items()})
 
     # --- training ---
 
@@ -723,6 +740,8 @@ class EditSystem:
                 overflow_any = (metrics["overflow"] if overflow_any is None
                                 else overflow_any | metrics["overflow"])
             step += 1
+        if callback is not None:
+            self._drain_metrics(callback)
         if overflow_any is not None and bool(jax.device_get(overflow_any)):
             import warnings
 

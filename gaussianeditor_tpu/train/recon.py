@@ -164,6 +164,7 @@ class ReconTrainer:
         self._multi_step = multi_step
         self._cams_dev = None
         self._imgs_dev = None
+        self._pending_metrics = None
 
     @property
     def scene(self) -> GaussianScene:
@@ -215,10 +216,23 @@ class ReconTrainer:
             self.state, self._cams_dev, self._imgs_dev,
             jnp.asarray(ids_pad), jnp.asarray(enabled))
         if callback is not None:
-            ms_host = jax.device_get(ms)
-            for k in range(K):
-                callback(step + k,
-                         {key: val[k] for key, val in ms_host.items()})
+            # deferred drain (see edit_system._run_burst): fetch this
+            # burst's metrics while the next one computes
+            jax.tree_util.tree_map(
+                lambda x: x.copy_to_host_async()
+                if hasattr(x, "copy_to_host_async") else None, ms)
+            self._drain_metrics(callback)
+            self._pending_metrics = (step, K, ms)
+
+    def _drain_metrics(self, callback) -> None:
+        if self._pending_metrics is None:
+            return
+        step0, K, ms = self._pending_metrics
+        self._pending_metrics = None
+        ms_host = jax.device_get(ms)
+        for k in range(K):
+            callback(step0 + k,
+                     {key: val[k] for key, val in ms_host.items()})
 
     def fit(self, n_steps: Optional[int] = None, callback=None) -> TrainState:
         cfg = self.cfg
@@ -251,4 +265,6 @@ class ReconTrainer:
             if self._reset_after(s_last):
                 self.state = self._opacity_reset(self.state)
             step += K
+        if callback is not None:
+            self._drain_metrics(callback)
         return self.state
