@@ -165,6 +165,7 @@ class ReconTrainer:
         self._cams_dev = None
         self._imgs_dev = None
         self._pending_metrics = None
+        self._enabled_cache: Dict[tuple, jnp.ndarray] = {}
 
     @property
     def scene(self) -> GaussianScene:
@@ -210,11 +211,13 @@ class ReconTrainer:
         ids = np.asarray([self._next_view() for _ in range(K)], np.int32)
         ids_pad = np.concatenate(
             [ids, np.broadcast_to(ids[:1], (kp - K,))])
-        enabled = np.zeros((kp,), bool)
-        enabled[:K] = True
+        if (K, kp) not in self._enabled_cache:
+            enabled = np.zeros((kp,), bool)
+            enabled[:K] = True
+            self._enabled_cache[(K, kp)] = jnp.asarray(enabled)
         self.state, ms = self._multi_step(
             self.state, self._cams_dev, self._imgs_dev,
-            jnp.asarray(ids_pad), jnp.asarray(enabled))
+            jnp.asarray(ids_pad), self._enabled_cache[(K, kp)])
         if callback is not None:
             # deferred drain (see edit_system._run_burst): fetch this
             # burst's metrics while the next one computes
