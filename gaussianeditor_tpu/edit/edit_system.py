@@ -261,7 +261,7 @@ class EditSystem:
         # cameras, gathered by view id INSIDE the jitted multi-step so
         # per-step host->device target uploads disappear
         self._frames_dev = None
-        self._frames_sync: Dict[int, int] = {}
+        self._frames_sync: Dict[int, np.ndarray] = {}
         self._all_cams_dev = None
         self._multi_step = None
         self._pending_metrics = None
@@ -537,10 +537,12 @@ class EditSystem:
         idxs, ups = [], []
         for v in sorted(set(int(v) for v in view_ids)):
             f = self.edit_frames[v]
-            if self._frames_sync.get(v) != id(f):
+            # store the OBJECT, not id(): holding the reference prevents
+            # CPython address reuse from masking a refreshed frame
+            if self._frames_sync.get(v) is not f:
                 idxs.append(v)
                 ups.append(np.asarray(f, np.float32))
-                self._frames_sync[v] = id(f)
+                self._frames_sync[v] = f
         if idxs:
             self._frames_dev = self._frames_dev.at[
                 jnp.asarray(idxs, jnp.int32)].set(jnp.asarray(np.stack(ups)))
