@@ -515,3 +515,56 @@ class TestProgressiveResolution:
                           perceptual=None)
         sys_.fit()
         assert sys_._cur_hw == (32, 32)
+
+
+class TestBurstBoundaries:
+    """Pure host-side unit tests of the burst sizing math."""
+
+    def _sys(self, **kw):
+        scene = random_scene(30, seed=21)
+        cams = orbit_cameras(3, 4.0, 0.8, 0.8, 32, 32)
+        cfg = EditConfig(prompt="x", batch_size=1, cameras_extent=2.0,
+                         max_instances=4096, tile_cap=256, chunk=32,
+                         dispatch_burst=10, **kw)
+        return EditSystem(scene, cams, cfg, guidance=FakeGuidance(),
+                          perceptual=None)
+
+    def test_refresh_grid_caps_burst_start_only(self):
+        s = self._sys(per_editing_step=10, edit_begin_step=0,
+                      edit_until_step=100, densify_until_step=0,
+                      max_steps=100)
+        # a burst starting ON the grid runs to the next grid point
+        assert s._burst_len(10, 100) == 10
+        # a burst starting off-grid stops before the next grid point
+        assert s._burst_len(13, 100) == 7
+        # after edit_until there is no refresh cap
+        assert s._burst_len(100, 200) == 10
+
+    def test_edit_begin_delays_refresh_cap(self):
+        s = self._sys(per_editing_step=5, edit_begin_step=12,
+                      edit_until_step=100, densify_until_step=0,
+                      max_steps=100)
+        # steps 0-14: the first in-window grid step is 15
+        assert s._burst_len(7, 100) == 8
+
+    def test_densify_step_is_burst_last(self):
+        s = self._sys(per_editing_step=0, densification_interval=10,
+                      densify_until_step=50, max_steps=100,
+                      edit_until_step=0)
+        # burst from 5 may include step 10 (densify runs after it)...
+        assert s._burst_len(5, 100) == 6
+        # ...and the next burst starts at 11
+        assert s._burst_len(11, 100) == 10
+
+    def test_checkpoint_is_burst_last(self):
+        s = self._sys(per_editing_step=0, densify_until_step=0,
+                      max_steps=100, edit_until_step=0,
+                      checkpoint_every=8, checkpoint_dir="/tmp/x")
+        # checkpoint after step 7 ((7+1) % 8 == 0) -> burst [4, 8)
+        assert s._burst_len(4, 100) == 4
+
+    def test_burst_pad_regimes(self):
+        s = self._sys(per_editing_step=4, edit_until_step=50,
+                      densify_until_step=0, max_steps=100)
+        assert s._burst_pad(0) == 4     # editing: refresh grid caps
+        assert s._burst_pad(60) == 10   # after edit_until: full burst
